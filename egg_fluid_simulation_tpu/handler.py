@@ -1,0 +1,525 @@
+"""SimulationHandler — the reference's public API over the TPU-native core.
+
+API parity with ``/root/reference/simulation_handler.lua:9-459``:
+``add`` (:27-135), ``remove`` (:140-155), ``update`` (:168-222), ``draw``
+(:159-162), ``set_target_position`` (:254-264), ``get_target_position``
+(:268-278), ``get_position`` (:281-295), ``set_white_config`` /
+``set_yolk_config`` (:226-236), ``get_white_config`` / ``get_yolk_config``
+(:240-248), ``set_white_color`` / ``set_yolk_color`` (:328-394),
+``list_ids`` (:399-405), ``get_n_particles`` (:409-419).
+
+Host/device split (the one boundary the reference has is mesh upload,
+:792-794; ours is the same shape): batch bookkeeping, validation, and particle
+*creation* math (fibonacci spiral, butterworth masses — cheap, O(batch))
+happen on host in numpy; all per-step compute is the jitted device step
+(ops/solver.py). Live particles always occupy the prefix ``[0, count)`` of the
+fixed-capacity arrays; ``remove`` compacts with a host-built permutation +
+device gather — the TPU analog of the reference's prefix-sum compaction
+(:1037-1106).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import config as config_mod
+from .config import DeviceConfig, device_config_from_dict, stack_device_configs
+from .ops import solver as solver_ops
+from .ops.solver import SolverOptions
+from .state import ParticleState, StepStats, WHITE, YOLK, zeros_state, zeros_stats
+from .utils import log
+from .utils.mathx import EPS, clamp, is_nan, mix
+
+__all__ = ["SimulationHandler"]
+
+_GOLDEN_RATIO = (1 + math.sqrt(5)) / 2
+_GOLDEN_ANGLE = 2 * math.pi / (_GOLDEN_RATIO * _GOLDEN_RATIO)
+
+
+def _fibonacci_spiral(n: int, x_radius: float, y_radius: float) -> np.ndarray:
+    """Golden-angle disk fill (reference :907-918); returns (n, 2) offsets."""
+    i = np.arange(1, n + 1, dtype=np.float64)
+    r = np.sqrt((i - 1) / n)
+    theta = i * _GOLDEN_ANGLE
+    return np.stack([r * x_radius * np.cos(theta),
+                     r * y_radius * np.sin(theta)], axis=-1).astype(np.float32)
+
+
+def _mass_distribution_t(n: int, variance: float) -> np.ndarray:
+    """Butterworth bell sampled with 2-pt Gauss-Legendre (reference :921-938)."""
+    i = np.arange(1, n + 1, dtype=np.float64)
+    left = (i - 0.5) / n
+    right = (i + 0.5) / n
+    center = 0.5 * (left + right)
+    half_width = 0.5 * (right - left)
+    t1 = center - half_width / math.sqrt(3)
+    t2 = center + half_width / math.sqrt(3)
+
+    def butterworth(t):
+        return 1.0 / (1.0 + (variance * (t - 0.5)) ** 4)
+
+    return (0.5 * (butterworth(t1) + butterworth(t2))).astype(np.float32)
+
+
+@jax.jit
+def _compute_stats(state: ParticleState) -> StepStats:
+    """Stats from current positions without stepping (for post-add/remove reads).
+
+    The reference recomputes centroids lazily via ``centroid_needs_update``
+    (:289-293, :1134-1148); this is the batched equivalent.
+    """
+    active = state.active_mask()
+    pos = state.pos
+    n_act = jnp.maximum(jnp.sum(active, axis=1), 1)
+    centroid = jnp.sum(jnp.where(active[..., None], pos, 0.0), axis=1) / n_act[:, None]
+
+    big = jnp.float32(3.4e38)
+    r = state.radius
+    lo = jnp.min(jnp.where(active[..., None], pos - r[..., None], big), axis=1)
+    hi = jnp.max(jnp.where(active[..., None], pos + r[..., None], -big), axis=1)
+
+    speed = jnp.sqrt(jnp.sum(state.vel * state.vel, axis=-1))
+    max_vel = jnp.max(jnp.where(active, speed, 0.0), axis=1)
+    max_rad = jnp.maximum(jnp.max(jnp.where(active, r, 0.0), axis=1), 1.0)
+
+    nb = state.max_batches
+
+    def per_pop(slot, act, p):
+        s = jnp.zeros((nb, 2), jnp.float32).at[slot].add(
+            jnp.where(act[:, None], p, 0.0), mode="drop")
+        c = jnp.zeros((nb,), jnp.float32).at[slot].add(
+            jnp.where(act, 1.0, 0.0), mode="drop")
+        return s, c
+
+    batch_sum, batch_count = jax.vmap(per_pop)(state.batch_slot, active, pos)
+    return StepStats(aabb_min=lo, aabb_max=hi, centroid=centroid,
+                     last_centroid=centroid, max_radius=max_rad,
+                     max_velocity=max_vel, batch_pos_sum=batch_sum,
+                     batch_count=batch_count)
+
+
+class SimulationHandler:
+    """Egg-fluid simulation: any number of white+yolk particle batches.
+
+    Parameters mirror the reference constructor (:425-459); extra keyword-only
+    arguments control static device capacities (the TPU build needs fixed
+    shapes where the reference grows Lua tables).
+    """
+
+    def __init__(self, white_config: Dict, yolk_config: Optional[Dict] = None, *,
+                 capacity: int = 4096, max_batches: int = 256,
+                 options: Optional[SolverOptions] = None,
+                 canvas_size: int = 512,
+                 jacobi_relaxation: float = 1.0):
+        if yolk_config is None:
+            yolk_config = white_config  # :426
+        log.assert_types(white_config, "table", yolk_config, "table")
+
+        self._white_config: Dict = {}
+        self._yolk_config: Dict = {}
+        config_mod.load_config(self._white_config, config_mod.copy_config(white_config), True)
+        config_mod.load_config(self._yolk_config, config_mod.copy_config(yolk_config), False)
+
+        # immutable knobs (:439-455)
+        self._thresholding_threshold = 0.3
+        self._thresholding_smoothness = 0.01
+        self._mass_distribution_variance = 4.0
+        self._max_collision_fraction = 0.05  # kept for parity; the budget is
+        # enforced as the grid's static slots_per_cell cap (ops/grid.py)
+        self._use_particle_color = False
+        self._use_lighting = True
+        self._canvas_msaa = 4
+        self._particle_texture_padding = 3
+        self._particle_texture_resolution_factor = 4
+
+        self._options = options or SolverOptions()
+        self._canvas_size = canvas_size
+        self._jacobi_relaxation = float(jacobi_relaxation)
+
+        self._capacity = int(capacity)
+        self._max_batches = int(max_batches)
+        self._reinitialize()
+
+    # ------------------------------------------------------------ lifecycle --
+
+    def _reinitialize(self) -> None:
+        """Reset all simulation state (reference ``_reinitialize`` :465-563)."""
+        self._state: ParticleState = zeros_state(self._capacity, self._max_batches)
+        self._stats: StepStats = zeros_stats(self._max_batches)
+        self._batches: Dict[int, dict] = {}   # id -> {slot, n_white, n_yolk, colors}
+        self._current_batch_id = 1
+        self._free_slots: List[int] = list(range(self._max_batches - 1, -1, -1))
+        self._counts = [0, 0]                 # live particles per population
+        self._host_targets = np.zeros((self._max_batches, 2), np.float32)
+        self._targets_dirty = False
+        self._elapsed = 0.0
+        self._interpolation_alpha = 0.0
+        self._frames: Optional[jnp.ndarray] = None  # last rendered canvases
+
+    def _device_cfg2(self) -> DeviceConfig:
+        return stack_device_configs(device_config_from_dict(self._white_config),
+                                    device_config_from_dict(self._yolk_config))
+
+    # ------------------------------------------------------------------ add --
+
+    def add(self, x, y, white_radius=None, yolk_radius=None,
+            white_color=None, yolk_color=None,
+            white_n_particles=None, yolk_n_particles=None) -> int:
+        """Add a new egg batch; returns its integer id (reference :27-135)."""
+        wcfg, ycfg = self._white_config, self._yolk_config
+        white_particle_radius = mix(wcfg["min_radius"], wcfg["max_radius"], 0.5)
+        yolk_particle_radius = mix(ycfg["min_radius"], ycfg["max_radius"], 0.5)
+
+        if white_radius is None:
+            white_radius = white_particle_radius * 15          # :41-43
+        if yolk_radius is None:
+            yolk_radius = white_radius * (10 / 50)             # :45-47
+        white_color = list(white_color) if white_color is not None else list(wcfg["color"])
+        yolk_color = list(yolk_color) if yolk_color is not None else list(ycfg["color"])
+
+        if white_n_particles is None:
+            white_n_particles = math.ceil(white_radius ** 2 / white_particle_radius ** 2)  # :52-55
+        if yolk_n_particles is None:
+            yolk_n_particles = math.ceil(yolk_radius ** 2 / yolk_particle_radius ** 2)
+
+        log.assert_types(x, "number", y, "number",
+                         white_radius, "number", yolk_radius, "number",
+                         white_color, "table", yolk_color, "table",
+                         white_n_particles, "number", yolk_n_particles, "number")
+        if white_radius <= 0:
+            log.error("In SimulationHandler.add: white radius cannot be 0 or negative")
+        if yolk_radius <= 0:
+            log.error("In SimulationHandler.add: yolk radius cannot be 0 or negative")
+        if white_n_particles <= 1:
+            log.error("In SimulationHandler.add: white particle count cannot be 1 or negative")
+        if yolk_n_particles <= 1:
+            log.error("In SimulationHandler.add: yolk particle count cannot be 1 or negative")
+
+        for name, color in (("white", white_color), ("yolk", yolk_color)):
+            if len(color) != 4:
+                log.error("In SimulationHandler.add: ", name, " color must have 4 components")
+            for ci, c in enumerate(color):
+                if isinstance(c, bool) or not isinstance(c, (int, float)) or is_nan(c):
+                    log.error("In SimulationHandler.add: ", name, " color component `",
+                              "rgba"[ci], "` is not a number")
+                if c < 0 or c > 1:
+                    log.warning("In SimulationHandler.add: ", name, " color component `",
+                                "rgba"[ci], "` is outside of [0, 1]")
+                color[ci] = clamp(float(c), 0.0, 1.0)
+
+        if white_n_particles < 10:
+            log.warning("In SimulationHandler.add: trying to add white of radius `",
+                        white_radius, "`, but the white particle radius is `~",
+                        white_particle_radius, "`, so only `", white_n_particles,
+                        "` particles will be created. Consider increasing the white "
+                        "radius or decreasing the white particle size")
+        if yolk_n_particles < 5:
+            log.warning("In SimulationHandler.add: trying to add yolk of radius `",
+                        yolk_radius, "`, but the yolk particle radius is `~",
+                        yolk_particle_radius, "`, so only `", yolk_n_particles,
+                        "` particles will be created. Consider increasing the yolk "
+                        "radius or decreasing the yolk particle size")
+
+        white_n_particles = int(white_n_particles)
+        yolk_n_particles = int(yolk_n_particles)
+        if not self._free_slots:
+            log.error("In SimulationHandler.add: exceeded max_batches capacity of `",
+                      self._max_batches, "`")
+        if (self._counts[WHITE] + white_n_particles > self._capacity
+                or self._counts[YOLK] + yolk_n_particles > self._capacity):
+            log.error("In SimulationHandler.add: exceeded particle capacity of `",
+                      self._capacity, "`; construct with a larger `capacity`")
+
+        slot = self._free_slots.pop()
+        batch_id = self._current_batch_id
+        self._current_batch_id += 1
+
+        state = self._state
+        for pop, cfg, n, rad, color in (
+                (WHITE, wcfg, white_n_particles, white_radius, white_color),
+                (YOLK, ycfg, yolk_n_particles, yolk_radius, yolk_color)):
+            offsets = _fibonacci_spiral(n, rad, rad)
+            t = _mass_distribution_t(n, self._mass_distribution_variance)
+            mass = np.maximum(mix(cfg["min_mass"], cfg["max_mass"], t), 1e-12)
+            radius = mix(cfg["min_radius"], cfg["max_radius"], t)
+            pos = np.array([x, y], np.float32) + offsets
+            start = self._counts[pop]
+            sl = slice(start, start + n)
+            pcolor = (np.tile(np.asarray(color, np.float32), (n, 1))
+                      if self._use_particle_color else np.ones((n, 4), np.float32))
+            state = state.replace(
+                pos=state.pos.at[pop, sl].set(pos),
+                prev=state.prev.at[pop, sl].set(pos),
+                last_pos=state.last_pos.at[pop, sl].set(pos),
+                vel=state.vel.at[pop, sl].set(0.0),
+                radius=state.radius.at[pop, sl].set(radius),
+                mass_t=state.mass_t.at[pop, sl].set(t),
+                inv_mass=state.inv_mass.at[pop, sl].set(1.0 / mass),
+                batch_slot=state.batch_slot.at[pop, sl].set(slot),
+                color=state.color.at[pop, sl].set(pcolor),
+            )
+            self._counts[pop] += n
+
+        self._host_targets[slot] = (x, y)
+        state = state.replace(
+            count=jnp.asarray(self._counts, jnp.int32),
+            batch_target=state.batch_target.at[slot].set(jnp.asarray([x, y], jnp.float32)),
+            batch_radius=state.batch_radius.at[:, slot].set(
+                jnp.asarray([white_radius, yolk_radius], jnp.float32)),
+            batch_used=state.batch_used.at[slot].set(True),
+        )
+        self._state = state
+        self._batches[batch_id] = {
+            "slot": slot,
+            "n_white": white_n_particles, "n_yolk": yolk_n_particles,
+            "white_color": list(white_color), "yolk_color": list(yolk_color),
+            "target": (float(x), float(y)),
+        }
+        self._stats = _compute_stats(self._state)
+        return batch_id
+
+    # --------------------------------------------------------------- remove --
+
+    def remove(self, batch_id) -> None:
+        """Remove a batch and compact particle storage (reference :140-155, :1037-1106)."""
+        log.assert_types(batch_id, "number")
+        batch = self._batches.get(batch_id)
+        if batch is None:
+            log.warning("In SimulationHandler.remove: no batch with id `", batch_id, "`")
+            return
+
+        slot = batch["slot"]
+        state = self._state
+        batch_slot_host = np.asarray(state.batch_slot)
+
+        new_counts = list(self._counts)
+        perms = []
+        for pop in (WHITE, YOLK):
+            n = self._counts[pop]
+            keep = np.nonzero(batch_slot_host[pop, :n] != slot)[0]
+            # permutation: survivors first (order preserved = reference's stable
+            # prefix-sum compaction), then the free tail
+            tail = np.arange(n, self._capacity)
+            perm = np.concatenate([keep, np.setdiff1d(np.arange(n), keep,
+                                                      assume_unique=True), tail])
+            perms.append(jnp.asarray(perm.astype(np.int32)))
+            new_counts[pop] = int(keep.size)
+
+        def permute(arr):
+            return jnp.stack([arr[0][perms[0]], arr[1][perms[1]]])
+
+        state = state.replace(
+            pos=permute(state.pos), prev=permute(state.prev),
+            vel=permute(state.vel), last_pos=permute(state.last_pos),
+            radius=permute(state.radius), mass_t=permute(state.mass_t),
+            inv_mass=permute(state.inv_mass), batch_slot=permute(state.batch_slot),
+            color=permute(state.color),
+            count=jnp.asarray(new_counts, jnp.int32),
+            batch_used=state.batch_used.at[slot].set(False),
+        )
+        self._state = state
+        self._counts = new_counts
+        del self._batches[batch_id]
+        self._free_slots.append(slot)
+        self._stats = _compute_stats(self._state)
+
+    # --------------------------------------------------------------- update --
+
+    def update(self, delta, step_delta=None, n_substeps=None, n_collision_steps=None) -> None:
+        """Fixed-timestep driver (reference :168-222): accumulate ``delta``,
+        run whole steps at ``step_delta``, death-spiral cap, interpolation alpha."""
+        if step_delta is None:
+            step_delta = 1 / 60
+        if n_substeps is None:
+            n_substeps = self._options.n_substeps
+        if n_collision_steps is None:
+            n_collision_steps = self._options.n_collision_steps
+        log.assert_types(delta, "number", step_delta, "number",
+                         n_substeps, "number", n_collision_steps, "number")
+        n_substeps = math.ceil(n_substeps)
+        n_collision_steps = math.ceil(n_collision_steps)
+        if step_delta < 0 or is_nan(step_delta):
+            log.error("In SimulationHandler.update: `step_delta` is not a number > 0")
+        if n_substeps < 1:
+            log.error("In SimulationHandler.update: `n_substeps` is not a number > 0")
+        if n_collision_steps < 1:
+            log.error("In SimulationHandler.update: `n_collision_steps` is not a number > 0")
+
+        if (n_substeps != self._options.n_substeps
+                or n_collision_steps != self._options.n_collision_steps):
+            self._options = replace(self._options, n_substeps=n_substeps,
+                                    n_collision_steps=n_collision_steps)
+
+        self._flush_targets()
+        cfg2 = self._device_cfg2()
+        relax = jnp.float32(self._jacobi_relaxation)
+        dt = jnp.float32(step_delta)
+
+        self._elapsed += delta
+        n_steps = 0
+        max_n_steps = max(4, 4 * math.ceil((1 / 60) / step_delta))  # :203
+        stepped = False
+        while self._elapsed >= step_delta:
+            self._state, self._stats = solver_ops.step(
+                self._state, cfg2, dt, relax, self._options)
+            stepped = True
+            self._elapsed -= step_delta
+            n_steps += 1
+            if n_steps > max_n_steps:
+                self._elapsed = 0.0
+                break
+
+        self._interpolation_alpha = clamp(self._elapsed / step_delta, 0.0, 1.0)
+        if stepped:
+            self._frames = None  # canvases dirty (:1984)
+
+    def step_once(self, step_delta: float = 1 / 60) -> None:
+        """Advance exactly one fixed step (benchmark/test convenience)."""
+        self._flush_targets()
+        self._state, self._stats = solver_ops.step(
+            self._state, self._device_cfg2(), jnp.float32(step_delta),
+            jnp.float32(self._jacobi_relaxation), self._options)
+        self._frames = None
+
+    def _flush_targets(self) -> None:
+        if self._targets_dirty:
+            self._state = self._state.replace(
+                batch_target=jnp.asarray(self._host_targets))
+            self._targets_dirty = False
+
+    # --------------------------------------------------------------- render --
+
+    def draw(self, viewport=None, background=None):
+        """Render all batches to an RGBA image (reference ``draw`` :159-162).
+
+        Returns an (H, W, 4) float32 array. ``viewport`` is ``(x, y, w, h)`` in
+        world px; defaults to a window around all particles.
+        """
+        from .ops import render as render_ops
+        return render_ops.draw(self, viewport=viewport, background=background)
+
+    # ----------------------------------------------------------- configs --
+
+    def set_white_config(self, config: Dict) -> None:
+        log.assert_types(config, "table")
+        config_mod.load_config(self._white_config, config, True)
+
+    def set_yolk_config(self, config: Dict) -> None:
+        log.assert_types(config, "table")
+        config_mod.load_config(self._yolk_config, config, False)
+
+    def get_white_config(self) -> Dict:
+        return config_mod.copy_config(self._white_config)
+
+    def get_yolk_config(self) -> Dict:
+        return config_mod.copy_config(self._yolk_config)
+
+    # ----------------------------------------------------------- targets --
+
+    def set_target_position(self, batch_id, x, y) -> None:
+        log.assert_types(batch_id, "number", x, "number", y, "number")
+        batch = self._batches.get(batch_id)
+        if batch is None:
+            log.warning("In SimulationHandler.set_target_position: no batch with id `",
+                        batch_id, "`")
+            return
+        batch["target"] = (float(x), float(y))
+        self._host_targets[batch["slot"]] = (x, y)
+        self._targets_dirty = True
+
+    def get_target_position(self, batch_id) -> Tuple[Optional[float], Optional[float]]:
+        log.assert_types(batch_id, "number")
+        batch = self._batches.get(batch_id)
+        if batch is None:
+            log.error("In SimulationHandler.get_target_position: no batch with id `",
+                      batch_id, "`")
+        return batch["target"]
+
+    def get_position(self, batch_id) -> Tuple[Optional[float], Optional[float]]:
+        """Mean position of all (white + yolk) particles of a batch (:281-295)."""
+        log.assert_types(batch_id, "number")
+        batch = self._batches.get(batch_id)
+        if batch is None:
+            log.error("In SimulationHandler.get_position: no batch with id `",
+                      batch_id, "`")
+        c = np.asarray(self._stats.batch_centroid(batch["slot"]))
+        return float(c[0]), float(c[1])
+
+    # ------------------------------------------------------------- colors --
+
+    def _assert_color(self, scope, r, g, b, a):
+        if a is None:
+            a = 1.0
+        log.assert_types(r, "number", g, "number", b, "number", a, "number")
+        if not all(0 <= c <= 1 for c in (r, g, b, a)):
+            log.warning("In SimulationHandler.", scope,
+                        ": color component is outside of [0, 1]")
+        return tuple(clamp(float(c), 0.0, 1.0) for c in (r, g, b, a))
+
+    def _set_color(self, pop: int, key: str, scope: str, batch_id,
+                   r, g, b, a, outline) -> None:
+        log.assert_types(batch_id, "number")
+        rgba = self._assert_color(scope, r, g, b, a)
+        cfg = self._white_config if pop == WHITE else self._yolk_config
+        oc = [outline[i] if outline[i] is not None else cfg["outline_color"][i]
+              for i in range(4)]
+        # validated but, as in the reference (:328-357 never stores them), the
+        # outline override is not persisted — outline draws with the config color
+        self._assert_color(scope, *oc)
+
+        batch = self._batches.get(batch_id)
+        if batch is None:
+            log.warning("In SimulationHandler.", scope, ": no batch with id `",
+                        batch_id, "`")
+            return
+        batch[key] = list(rgba)
+        mask = self._state.batch_slot[pop] == batch["slot"]
+        new_colors = jnp.where(mask[:, None], jnp.asarray(rgba, jnp.float32),
+                               self._state.color[pop])
+        self._state = self._state.replace(
+            color=self._state.color.at[pop].set(new_colors))
+        self._frames = None
+
+    def set_white_color(self, batch_id, r, g, b, a=None,
+                        outline_r=None, outline_g=None, outline_b=None, outline_a=None):
+        self._set_color(WHITE, "white_color", "set_white_color", batch_id,
+                        r, g, b, a, (outline_r, outline_g, outline_b, outline_a))
+
+    def set_yolk_color(self, batch_id, r, g, b, a=None,
+                       outline_r=None, outline_g=None, outline_b=None, outline_a=None):
+        self._set_color(YOLK, "yolk_color", "set_egg_yolk_color", batch_id,
+                        r, g, b, a, (outline_r, outline_g, outline_b, outline_a))
+
+    # ------------------------------------------------------------ queries --
+
+    def list_ids(self) -> List[int]:
+        return list(self._batches.keys())
+
+    def get_n_particles(self, batch_or_nil=None):
+        if batch_or_nil is None:
+            return self._counts[WHITE], self._counts[YOLK]
+        batch = self._batches.get(batch_or_nil)
+        if batch is None:
+            log.error("In SimulationHandler.get_n_particles: no batch with id `",
+                      batch_or_nil, "`")
+        return batch["n_white"], batch["n_yolk"]
+
+    # ---------------------------------------------------------- inspection --
+
+    @property
+    def state(self) -> ParticleState:
+        return self._state
+
+    @property
+    def stats(self) -> StepStats:
+        return self._stats
+
+    @property
+    def interpolation_alpha(self) -> float:
+        return self._interpolation_alpha

@@ -1,0 +1,98 @@
+"""Uniform-grid neighbor search, rebuilt sort-free of host hash tables.
+
+The reference builds a Lua-table spatial hash every collision pass
+(``/root/reference/simulation_handler.lua:1474-1511``): Szudzik-paired cell
+hash -> list of particle indices, with cell size
+``max(1, max_radius * max(collision_overlap_factor,
+cohesion_interaction_distance_factor))`` (:1756-1760).
+
+Unbounded hash tables don't exist on a TPU, so this is the sort-based dense
+equivalent (the "tiled cell-list" of SURVEY.md §7):
+
+1. integer cell coords ``floor(pos / cell_size)`` (:1494-1495),
+2. multiplicative XOR hash of the cell coords into a power-of-two table
+   (replaces Szudzik pairing — we only need a well-mixed bucket index, not an
+   invertible pairing),
+3. one ``lax.sort`` by bucket, ranks within each bucket via ``searchsorted``,
+4. scatter into a dense ``(table_size + 1, K)`` slot table. Particles beyond
+   ``K`` per bucket are dropped — the static-capacity analog of the
+   reference's collision budget ``0.05 * n^2`` (:1749-1753, :1656-1658), which
+   exists for exactly the same reason: dense clusters must not blow up cost.
+
+Bucket collisions (two far-apart cells sharing a bucket) only create candidate
+pairs that the solver's distance tests reject, so they cost compute, never
+correctness.
+
+All shapes are static; everything runs under ``vmap`` over the population axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["CellGrid", "build_grid", "neighbor_candidates", "NEIGHBOR_OFFSETS"]
+
+# Knuth-style multiplicative constants; any well-mixed odd constants work.
+_HASH_X = jnp.uint32(0x9E3779B1)
+_HASH_Y = jnp.uint32(0x85EBCA77)
+
+# 3x3 neighborhood, matching the reference's cell scan at :1568-1569.
+NEIGHBOR_OFFSETS = [(-1, -1), (-1, 0), (-1, 1),
+                    (0, -1), (0, 0), (0, 1),
+                    (1, -1), (1, 0), (1, 1)]
+
+
+class CellGrid(NamedTuple):
+    table: jnp.ndarray      # (table_size + 1, K) i32, -1 = empty slot
+    cell_xy: jnp.ndarray    # (N, 2) i32 cell coords per particle
+    table_size: int
+
+
+def _bucket_of(cell_x: jnp.ndarray, cell_y: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    hx = cell_x.astype(jnp.uint32) * _HASH_X
+    hy = cell_y.astype(jnp.uint32) * _HASH_Y
+    return ((hx ^ hy) & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def build_grid(
+    pos: jnp.ndarray,        # (N, 2) f32
+    active: jnp.ndarray,     # (N,) bool
+    cell_size: jnp.ndarray,  # scalar f32 (dynamic — depends on live config)
+    *,
+    table_size: int,         # static, power of two
+    slots_per_cell: int,     # static K
+) -> CellGrid:
+    n = pos.shape[0]
+    cell_xy = jnp.floor(pos / cell_size).astype(jnp.int32)
+    bucket = _bucket_of(cell_xy[:, 0], cell_xy[:, 1], table_size)
+    # inactive particles go to the sentinel row `table_size`, never queried
+    bucket = jnp.where(active, bucket, table_size)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    bucket_sorted, idx_sorted = jax.lax.sort_key_val(bucket, idx)
+    # rank of each particle within its bucket run
+    first_of_run = jnp.searchsorted(bucket_sorted, bucket_sorted, side="left")
+    rank = idx - first_of_run  # idx here is 0..n-1 == position in sorted order
+
+    table = jnp.full((table_size + 1, slots_per_cell), -1, dtype=jnp.int32)
+    # mode="drop" discards rank >= K: the collision-budget analog
+    table = table.at[bucket_sorted, rank].set(idx_sorted, mode="drop")
+    return CellGrid(table=table, cell_xy=cell_xy, table_size=table_size)
+
+
+def neighbor_candidates(grid: CellGrid) -> jnp.ndarray:
+    """(N, 9 * K) candidate particle indices per particle, -1 = empty.
+
+    The 3x3 scan around each particle's own cell — the vectorized form of the
+    reference's ``for x_offset = -1, 1 do for y_offset = -1, 1`` (:1568-1573).
+    """
+    cx, cy = grid.cell_xy[:, 0], grid.cell_xy[:, 1]
+    buckets = jnp.stack(
+        [_bucket_of(cx + dx, cy + dy, grid.table_size) for dx, dy in NEIGHBOR_OFFSETS],
+        axis=1,
+    )  # (N, 9)
+    cand = grid.table[buckets]  # (N, 9, K)
+    return cand.reshape(cand.shape[0], -1)

@@ -1,0 +1,296 @@
+"""XPBD solver core — pure-JAX, population-vmapped, fully jitted.
+
+TPU-native reimplementation of the reference's per-substep pipeline
+(``/root/reference/simulation_handler.lua:1324-1990``):
+
+  pre_solve (:1393-1432) -> follow constraint (:1435-1471)
+  -> [grid rebuild (:1486-1511) + pair projection (:1548-1666)] x n_collision_steps
+  -> post_solve (:1669-1718)
+
+with the strength->compliance conversion ``alpha = (1 - s) / dt^2``
+(:1337-1341) and the substep loop (:1821-1932) expressed as ``lax.scan``.
+
+Design deltas from the reference (all deliberate, see SURVEY.md §5/§7):
+
+- **Jacobi, not Gauss-Seidel.** The reference applies pair corrections in
+  place, sequentially (:1625-1628, :1649-1652); order-dependent and
+  unparallelizable. Here every particle accumulates its half of every
+  neighboring pair's correction and all corrections apply at once, scaled by
+  ``relaxation`` (an SOR-style knob; trajectories match the reference in
+  envelope, not bitwise — SURVEY.md §5.3).
+- **Pair dedup is free.** The reference dedups pairs with a Szudzik pair-set
+  (:1584-1590) because each sequential visit applies *both* sides. In the
+  Jacobi form each particle only ever applies its *own* half, and the
+  candidate relation is symmetric, so processing (a,b) from both sides is
+  exactly one full pair application.
+- **Collision budget** becomes the grid's static ``slots_per_cell`` cap
+  (ops/grid.py) instead of the global ``0.05 n^2`` counter (:1749-1753).
+- **Cohesion modes.** The literal reference branch (:1608-1617) is inert for
+  any non-coincident pair (SURVEY.md §5.1): same-batch pairs get
+  ``interaction_distance = 0``. ``cohesion_mode="literal"`` reproduces that
+  (i.e. no cohesion force); ``"spacing"`` implements the documented intent
+  (README.md of the reference: cohesion acts between same-batch particles
+  within ``factor * (r_a + r_b)``), driving such pairs toward that distance.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DeviceConfig
+from ..state import ParticleState, StepStats
+from ..utils.mathx import EPS, jnp_mix
+from . import grid as grid_ops
+
+__all__ = ["SolverOptions", "step", "substep", "pre_solve", "solve_follow",
+           "solve_pairs", "post_solve", "strength_to_compliance"]
+
+_BIG = jnp.float32(3.4e38)
+
+
+@dataclass(frozen=True)
+class SolverOptions:
+    """Static solver configuration (hashable; changing any field recompiles)."""
+    table_size: int = 1 << 14       # grid buckets, power of two
+    slots_per_cell: int = 16        # K, collision-budget analog
+    cohesion_mode: str = "spacing"  # "spacing" (documented intent) | "literal"
+    n_substeps: int = 2             # reference default, simulation_handler.lua:170
+    n_collision_steps: int = 3      # reference default, :171
+
+    def __post_init__(self):
+        assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
+        assert self.cohesion_mode in ("spacing", "literal")
+
+
+def strength_to_compliance(strength: jnp.ndarray, sub_dt: jnp.ndarray) -> jnp.ndarray:
+    """XPBD compliance-per-substep, ``(1 - clamp(s)) / dt^2`` (reference :1337-1341)."""
+    return (1.0 - jnp.clip(strength, 0.0, 1.0)) / (sub_dt * sub_dt)
+
+
+# ----------------------------------------------------------------- substeps --
+
+def pre_solve(pos, prev, vel, mass_t, active, cfg: DeviceConfig, sub_dt):
+    """Damped velocity integration + mass/radius re-derivation (reference :1393-1432).
+
+    The reference re-derives mass/radius only when min/max changed
+    (:1420-1430); deriving unconditionally from ``mass_t`` is branch-free and
+    bit-identical, since ``mix(min, max, t)`` is deterministic.
+    """
+    damping_mult = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)  # :1768
+    new_prev = pos
+    new_vel = vel * damping_mult
+    new_pos = pos + sub_dt * new_vel
+
+    mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
+    inv_mass = 1.0 / jnp.maximum(mass, jnp.float32(1e-12))
+    radius = jnp_mix(cfg.min_radius, cfg.max_radius, mass_t)
+
+    keep = active[:, None]
+    return (jnp.where(keep, new_pos, pos), jnp.where(keep, new_prev, prev),
+            jnp.where(keep, new_vel, vel), jnp.where(active, inv_mass, 0.0),
+            jnp.where(active, radius, 0.0))
+
+
+def solve_follow(pos, inv_mass, batch_slot, active,
+                 batch_target, follow_radius, compliance):
+    """Pull particles toward their batch target (reference :1435-1471).
+
+    ``follow_radius`` is ``sqrt(batch_radius)`` per slot — the reference's
+    (surprising but load-bearing) ``math.sqrt(batch.white_radius)`` at
+    :1789-1792, giving a ``2*sqrt(r)`` px dead zone around the target.
+    """
+    target = batch_target[batch_slot]                      # (N, 2)
+    target_distance = 2.0 * follow_radius[batch_slot]      # (N,)
+
+    delta = target - pos
+    dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+    direction = jnp.where((dist > EPS)[:, None], delta / jnp.maximum(dist, EPS)[:, None], 0.0)
+
+    violation = dist - target_distance
+    delta_lambda = violation / (inv_mass + compliance)
+    apply = active & (inv_mass > EPS) & (dist > target_distance)
+    correction = direction * (delta_lambda * inv_mass)[:, None]
+    return pos + jnp.where(apply[:, None], correction, 0.0)
+
+
+def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
+                collision_compliance, cohesion_compliance,
+                relaxation, options: SolverOptions):
+    """One grid rebuild + Jacobi pair projection pass.
+
+    Vectorized form of ``_rebuild_spatial_hash`` + ``_solve_collision``
+    (reference :1486-1511, :1548-1666) with ``_enforce_distance``'s
+    symmetric-projection math (:1514-1545): correction
+    ``-(dist - target) / (w_a + w_b + alpha)`` clamped to ±|violation|, each
+    endpoint moving by its inverse-mass share.
+    """
+    n = pos.shape[0]
+    max_factor = jnp.maximum(cfg.collision_overlap_factor,
+                             cfg.cohesion_interaction_distance_factor)
+    cell_size = jnp.maximum(1.0, cfg.max_radius * max_factor)  # :1756-1760
+
+    grid = grid_ops.build_grid(
+        pos, active, cell_size,
+        table_size=options.table_size, slots_per_cell=options.slots_per_cell)
+    cand = grid_ops.neighbor_candidates(grid)               # (N, 9K)
+
+    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    valid = (cand >= 0) & (cand != self_idx) & active[:, None]
+    safe = jnp.maximum(cand, 0)
+
+    o_pos = pos[safe]                                       # (N, 9K, 2)
+    o_w = jnp.where(valid, inv_mass[safe], 0.0)
+    o_r = jnp.where(valid, radius[safe], 0.0)
+    o_batch = batch_slot[safe]
+
+    s_pos = pos[:, None, :]
+    s_w = inv_mass[:, None]
+    s_r = radius[:, None]
+
+    delta = o_pos - s_pos
+    dist2 = jnp.sum(delta * delta, axis=-1)
+    dist = jnp.sqrt(dist2)
+    direction = jnp.where((dist > EPS)[..., None],
+                          delta / jnp.maximum(dist, EPS)[..., None], 0.0)
+
+    w_sum = s_w + o_w
+    degenerate = w_sum < EPS                                # :1601
+
+    def half_correction(target_distance, compliance, apply):
+        """Self's half of ``_enforce_distance`` (:1514-1545)."""
+        violation = dist - target_distance
+        divisor = w_sum + compliance
+        corr = jnp.where(divisor >= EPS, -violation / jnp.maximum(divisor, EPS), 0.0)
+        corr = jnp.clip(corr, -jnp.abs(violation), jnp.abs(violation))  # :1535-1536
+        vec = -direction * (corr * s_w)[..., None]          # a-side of :1538-1539
+        return jnp.where((apply & ~degenerate)[..., None], vec, 0.0)
+
+    total = jnp.zeros_like(pos)
+
+    # cohesion (:1603-1630)
+    if options.cohesion_mode == "spacing":
+        same_batch = valid & (o_batch == batch_slot[:, None])
+        coh_dist = cfg.cohesion_interaction_distance_factor * (s_r + o_r)
+        coh_apply = same_batch & (dist2 <= coh_dist * coh_dist)
+        total = total + jnp.sum(half_correction(coh_dist, cohesion_compliance, coh_apply), axis=1)
+    # "literal" mode: same-batch interaction distance is 0 (:1609-1613), so the
+    # constraint only fires for exactly coincident particles where the
+    # normalized direction is the zero vector -> correction is identically 0.
+
+    # collision (:1632-1654)
+    min_dist = cfg.collision_overlap_factor * (s_r + o_r)
+    col_apply = valid & (dist2 <= min_dist * min_dist)
+    total = total + jnp.sum(half_correction(min_dist, collision_compliance, col_apply), axis=1)
+
+    return pos + jnp.where(active[:, None], relaxation * total, 0.0)
+
+
+def post_solve(pos, prev, active, batch_slot, sub_dt, max_batches: int):
+    """True-velocity update + AABB/centroid/max aggregates (reference :1669-1718),
+    plus per-batch position sums for ``get_position`` (:1134-1148)."""
+    vel = jnp.where(active[:, None], (pos - prev) / sub_dt, 0.0)
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+
+    n_active = jnp.maximum(jnp.sum(active), 1)
+    centroid = jnp.sum(jnp.where(active[:, None], pos, 0.0), axis=0) / n_active
+    max_velocity = jnp.max(jnp.where(active, speed, 0.0))
+
+    batch_sum = jnp.zeros((max_batches, 2), jnp.float32).at[batch_slot].add(
+        jnp.where(active[:, None], pos, 0.0), mode="drop")
+    batch_count = jnp.zeros((max_batches,), jnp.float32).at[batch_slot].add(
+        jnp.where(active, 1.0, 0.0), mode="drop")
+    return vel, centroid, max_velocity, batch_sum, batch_count
+
+
+def _aabb(pos, radius, active):
+    """Radius-inclusive AABB over active particles (reference :1703-1709)."""
+    lo = jnp.min(jnp.where(active[:, None], pos - radius[:, None], _BIG), axis=0)
+    hi = jnp.max(jnp.where(active[:, None], pos + radius[:, None], -_BIG), axis=0)
+    return lo, hi
+
+
+def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
+            cfg: DeviceConfig, batch_target, follow_radius,
+            sub_dt, relaxation, options: SolverOptions, max_batches: int):
+    """One solver substep over a single population (reference :1821-1932)."""
+    follow_c = strength_to_compliance(cfg.follow_strength, sub_dt)
+    collision_c = strength_to_compliance(cfg.collision_strength, sub_dt)
+    cohesion_c = strength_to_compliance(cfg.cohesion_strength, sub_dt)
+
+    pos, prev, vel, inv_mass, radius = pre_solve(pos, prev, vel, mass_t, active, cfg, sub_dt)
+    pos = solve_follow(pos, inv_mass, batch_slot, active,
+                       batch_target, follow_radius, follow_c)
+
+    def collision_pass(_, p):
+        return solve_pairs(p, inv_mass, radius, batch_slot, active, cfg,
+                           collision_c, cohesion_c, relaxation, options)
+
+    pos = jax.lax.fori_loop(0, options.n_collision_steps, collision_pass, pos)
+
+    vel, centroid, max_velocity, batch_sum, batch_count = post_solve(
+        pos, prev, active, batch_slot, sub_dt, max_batches)
+    return pos, prev, vel, inv_mass, radius, centroid, max_velocity, batch_sum, batch_count
+
+
+# --------------------------------------------------------------- whole step --
+
+@functools.partial(jax.jit, static_argnames=("options",))
+def step(state: ParticleState, cfg2: DeviceConfig, step_delta: jnp.ndarray,
+         relaxation: jnp.ndarray, options: SolverOptions
+         ) -> Tuple[ParticleState, StepStats]:
+    """One fixed step: both populations, all substeps (reference ``_step`` :1722-1989).
+
+    ``cfg2`` is a :class:`DeviceConfig` with a leading (2,) population axis.
+    Everything dynamic (configs, dt, relaxation) is traced, so live config
+    edits and dt changes never recompile; only ``options`` is static.
+    """
+    sub_dt = jnp.maximum(step_delta / options.n_substeps, EPS)  # :1723
+    active = state.active_mask()
+    max_batches = state.max_batches
+
+    # pre-step positions + centroid for frame interpolation (:1795-1818)
+    last_pos = state.pos
+    n_act = jnp.maximum(jnp.sum(active, axis=1), 1)
+    last_centroid = (jnp.sum(jnp.where(active[..., None], state.pos, 0.0), axis=1)
+                     / n_act[:, None])
+
+    follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))  # :1789-1792
+
+    def one_population(pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
+                       act, cfg, frad):
+        def body(carry, _):
+            pos, prev, vel, inv_mass, radius = carry
+            out = substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
+                          act, cfg, state.batch_target, frad,
+                          sub_dt, relaxation, options, max_batches)
+            (pos, prev, vel, inv_mass, radius,
+             centroid, max_vel, batch_sum, batch_count) = out
+            return (pos, prev, vel, inv_mass, radius), (centroid, max_vel, batch_sum, batch_count)
+
+        carry = (pos, prev, vel, inv_mass, radius)
+        carry, aux = jax.lax.scan(body, carry, None, length=options.n_substeps)
+        pos, prev, vel, inv_mass, radius = carry
+        centroid, max_vel, batch_sum, batch_count = jax.tree.map(lambda a: a[-1], aux)
+        lo, hi = _aabb(pos, radius, act)
+        mrad = jnp.max(jnp.where(act, radius, 0.0))
+        return (pos, prev, vel, inv_mass, radius,
+                centroid, max_vel, batch_sum, batch_count, lo, hi, mrad)
+
+    out = jax.vmap(one_population)(
+        state.pos, state.prev, state.vel, state.inv_mass, state.radius,
+        state.mass_t, state.batch_slot, active, cfg2, follow_radius)
+    (pos, prev, vel, inv_mass, radius,
+     centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = out
+
+    new_state = state.replace(pos=pos, prev=prev, vel=vel, inv_mass=inv_mass,
+                              radius=radius, last_pos=last_pos)
+    stats = StepStats(
+        aabb_min=lo, aabb_max=hi, centroid=centroid,
+        last_centroid=last_centroid, max_radius=jnp.maximum(mrad, 1.0),
+        max_velocity=max_vel, batch_pos_sum=batch_sum, batch_count=batch_count)
+    return new_state, stats
