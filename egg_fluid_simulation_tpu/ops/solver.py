@@ -57,14 +57,16 @@ _BIG = jnp.float32(3.4e38)
 class SolverOptions:
     """Static solver configuration (hashable; changing any field recompiles)."""
     table_size: int = 1 << 14       # grid buckets, power of two
-    slots_per_cell: int = 16        # K, collision-budget analog
+    slots_per_cell: int = 16        # K, per-cell capacity cap
     cohesion_mode: str = "spacing"  # "spacing" (documented intent) | "literal"
+    budget_mode: str = "ordered"    # "ordered" (reference 0.05*n^2 cutoff) | "off"
     n_substeps: int = 2             # reference default, simulation_handler.lua:170
     n_collision_steps: int = 3      # reference default, :171
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
         assert self.cohesion_mode in ("spacing", "literal")
+        assert self.budget_mode in ("ordered", "off")
 
 
 def strength_to_compliance(strength: jnp.ndarray, sub_dt: jnp.ndarray) -> jnp.ndarray:
@@ -142,6 +144,20 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     valid = (cand >= 0) & (cand != self_idx) & active[:, None]
     safe = jnp.maximum(cand, 0)
+
+    if options.budget_mode == "ordered":
+        # Reference collision budget (:1749-1753, :1656-1658): each pass
+        # examines unique pairs in particle order and stops after
+        # 0.05 * n_live^2 pairs. A pair (p, q) is first examined while
+        # processing m = min(p, q) (q > m is still unmarked then), so its
+        # examination rank is ~ the count of pairs first seen at particles
+        # before m. Pairs past the budget are dropped, both halves alike.
+        n_live = jnp.sum(active).astype(jnp.float32)
+        max_pairs = jnp.float32(0.05) * n_live * n_live
+        new_pairs = jnp.sum(valid & (cand > self_idx), axis=1).astype(jnp.float32)
+        cum = jnp.cumsum(new_pairs) - new_pairs  # exclusive prefix
+        pair_min = jnp.minimum(cand, self_idx)
+        valid = valid & (cum[jnp.maximum(pair_min, 0)] < max_pairs)
 
     o_pos = pos[safe]                                       # (N, 9K, 2)
     o_w = jnp.where(valid, inv_mass[safe], 0.0)

@@ -31,7 +31,7 @@ def _call_site(depth: int = 2) -> str:
     """Return 'file:line' of the caller `depth` frames up, or '' if unavailable."""
     frame = inspect.currentframe()
     try:
-        for _ in range(depth + 1):
+        for _ in range(depth):
             if frame is None:
                 return ""
             frame = frame.f_back
