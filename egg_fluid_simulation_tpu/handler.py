@@ -161,10 +161,24 @@ class SimulationHandler:
         self._elapsed = 0.0
         self._interpolation_alpha = 0.0
         self._frames: Optional[jnp.ndarray] = None  # last rendered canvases
+        self._cfg2_cache: Optional[DeviceConfig] = None
+        self._step_scalar_cache = None
 
     def _device_cfg2(self) -> DeviceConfig:
-        return stack_device_configs(device_config_from_dict(self._white_config),
-                                    device_config_from_dict(self._yolk_config))
+        # rebuilding uploads ~34 scalars (expensive per-transfer); cache until a
+        # set_*_config invalidates — the configs are only mutated through those
+        if self._cfg2_cache is None:
+            self._cfg2_cache = stack_device_configs(
+                device_config_from_dict(self._white_config),
+                device_config_from_dict(self._yolk_config))
+        return self._cfg2_cache
+
+    def _step_scalars(self, step_delta: float):
+        key = (float(step_delta), self._jacobi_relaxation)
+        if self._step_scalar_cache is None or self._step_scalar_cache[0] != key:
+            self._step_scalar_cache = (key, (jnp.float32(step_delta),
+                                             jnp.float32(self._jacobi_relaxation)))
+        return self._step_scalar_cache[1]
 
     # ------------------------------------------------------------------ add --
 
@@ -358,8 +372,7 @@ class SimulationHandler:
 
         self._flush_targets()
         cfg2 = self._device_cfg2()
-        relax = jnp.float32(self._jacobi_relaxation)
-        dt = jnp.float32(step_delta)
+        dt, relax = self._step_scalars(step_delta)
 
         self._elapsed += delta
         n_steps = 0
@@ -382,9 +395,9 @@ class SimulationHandler:
     def step_once(self, step_delta: float = 1 / 60) -> None:
         """Advance exactly one fixed step (benchmark/test convenience)."""
         self._flush_targets()
+        dt, relax = self._step_scalars(step_delta)
         self._state, self._stats = solver_ops.step(
-            self._state, self._device_cfg2(), jnp.float32(step_delta),
-            jnp.float32(self._jacobi_relaxation), self._options)
+            self._state, self._device_cfg2(), dt, relax, self._options)
         self._frames = None
 
     def _flush_targets(self) -> None:
@@ -409,10 +422,12 @@ class SimulationHandler:
     def set_white_config(self, config: Dict) -> None:
         log.assert_types(config, "table")
         config_mod.load_config(self._white_config, config, True)
+        self._cfg2_cache = None
 
     def set_yolk_config(self, config: Dict) -> None:
         log.assert_types(config, "table")
         config_mod.load_config(self._yolk_config, config, False)
+        self._cfg2_cache = None
 
     def get_white_config(self) -> Dict:
         return config_mod.copy_config(self._white_config)

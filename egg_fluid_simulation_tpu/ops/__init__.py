@@ -1,3 +1,3 @@
-from . import grid, solver
+from . import grid, render, solver
 
-__all__ = ["grid", "solver"]
+__all__ = ["grid", "render", "solver"]

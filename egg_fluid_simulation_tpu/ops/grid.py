@@ -73,14 +73,32 @@ def build_grid(
 
     idx = jnp.arange(n, dtype=jnp.int32)
     bucket_sorted, idx_sorted = jax.lax.sort_key_val(bucket, idx)
-    # rank of each particle within its bucket run
-    first_of_run = jnp.searchsorted(bucket_sorted, bucket_sorted, side="left")
-    rank = idx - first_of_run  # idx here is 0..n-1 == position in sorted order
+    rank = segmented_rank(bucket_sorted)
 
-    table = jnp.full((table_size + 1, slots_per_cell), -1, dtype=jnp.int32)
-    # mode="drop" discards rank >= K: the collision-budget analog
-    table = table.at[bucket_sorted, rank].set(idx_sorted, mode="drop")
+    # flattened 1D scatter (2D scatters and searchsorted-based ranking compile
+    # orders of magnitude slower on TPU); rank >= K clamps into a dumping row
+    flat = jnp.where(rank < slots_per_cell,
+                     bucket_sorted * slots_per_cell + rank,
+                     jnp.int32((table_size + 1) * slots_per_cell))
+    table = jnp.full(((table_size + 2) * slots_per_cell,), -1, dtype=jnp.int32)
+    table = table.at[flat].set(idx_sorted, mode="drop")
+    table = table[:(table_size + 1) * slots_per_cell].reshape(table_size + 1,
+                                                              slots_per_cell)
     return CellGrid(table=table, cell_xy=cell_xy, table_size=table_size)
+
+
+def segmented_rank(sorted_keys: jnp.ndarray) -> jnp.ndarray:
+    """Rank of each element within its run of equal (sorted) keys.
+
+    ``cummax`` of run-start positions — compiles to a cheap parallel scan,
+    unlike a searchsorted self-query.
+    """
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool),
+                                sorted_keys[1:] != sorted_keys[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    return idx - run_start
 
 
 def neighbor_candidates(grid: CellGrid) -> jnp.ndarray:

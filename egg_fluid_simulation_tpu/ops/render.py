@@ -1,0 +1,442 @@
+"""Render pipeline: the reference's 4 GLSL passes as TPU-native array ops.
+
+Reference pipeline (``/root/reference/simulation_handler.lua:1992-2175`` plus
+the four shaders):
+
+1. **Splat accumulation** — every particle drawn as a gaussian-alpha textured
+   quad into an offscreen canvas with blend ``("screen", "premultiplied")``
+   (:2071), instanced (simulation_handler_instanced_draw.glsl): quad scaled by
+   ``radius * texture_scale``, stretched along velocity by
+   ``1 + |v| * motion_blur``, rotated to the velocity angle, positioned at
+   ``mix(last_pos, pos, interpolation_alpha)``. The particle texture is the
+   gaussian ``exp(-(4pi/3) x^2)`` of normalized center distance
+   (simulation_handler_particle_texture.glsl:6-17).
+2. **Outline** — 8-direction dilation of the accumulated alpha then
+   ``smoothstep(0.5*threshold, +0.035)`` (simulation_handler_outline.glsl).
+3. **Lighting** — alpha thresholded with ``smoothstep(threshold±smoothness)``,
+   Sobel gradient -> surface normal, Blinn-Phong specular (focus 48, light
+   (1,-1,1)) and smoothstepped lambert shadow (light (-.5,.75,0)); output
+   ``rgb - shadow + specular`` (simulation_handler_lighting.glsl).
+4. **Composite** — per population: outline then lighting, canvas placed at
+   ``centroid - canvas/2``, white before yolk, alpha blending (:2117-2175).
+
+TPU-native design decisions (not a port):
+
+- The splat is evaluated **analytically** per pixel — no texture sampling.
+  Screen-blend accumulation ``1 - prod(1 - a_i)`` is order-independent, so the
+  scatter-style rasterization inverts into a per-tile **gather**: particles are
+  binned into canvas tiles (same sort-and-rank machinery as the solver grid)
+  and each tile multiplies its candidates' gaussian contributions. A static
+  per-tile candidate cap is the render-budget analog of the reference's canvas
+  clamp (:1953-1954).
+- Canvases are **static-size** (``canvas_size``), centered on the interpolated
+  population centroid. The reference grows canvases to the particle AABB with
+  a 2560px clamp; a fixed canvas is the XLA-friendly equivalent (content
+  outside is dropped, exactly like the reference beyond its clamp).
+- Fractional-pixel canvas placement is rounded to the nearest pixel during
+  compositing (<=0.5px deviation; the reference bilinearly resamples).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.mathx import EPS
+
+__all__ = ["RenderOptions", "splat_population", "outline_pass", "lighting_pass",
+           "render_population", "draw"]
+
+_GAUSS_COEFF = 4.0 * np.pi / 3.0  # particle_texture.glsl:8
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """Static render configuration."""
+    canvas_size: int = 512        # px, square canvas per population
+    tile_h: int = 32              # canvas tile height (sublane-friendly)
+    tile_w: int = 128             # canvas tile width (lane-aligned)
+    max_splat_px: int = 64        # static half-extent cap of one splat quad
+    tile_capacity: int = 256      # max particles binned per tile (render budget)
+    max_outline_steps: int = 8    # static cap of outline dilation samples
+    use_particle_color: bool = False
+
+    def __post_init__(self):
+        assert self.canvas_size % self.tile_h == 0
+        assert self.canvas_size % self.tile_w == 0
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / jnp.maximum(e1 - e0, EPS), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+# -------------------------------------------------------------- splat pass --
+
+def _bin_particles_to_tiles(p_canvas, active, opts: RenderOptions):
+    """Scatter each particle into every canvas tile its quad can overlap.
+
+    Static window: a splat reaches at most ``max_splat_px`` from its center, so
+    it covers a fixed number of tiles per axis. Returns a
+    ``(n_tiles + 1, tile_capacity)`` index table (-1 empty; row n_tiles is the
+    out-of-canvas sentinel).
+    """
+    s, th, tw, e = opts.canvas_size, opts.tile_h, opts.tile_w, opts.max_splat_px
+    nty, ntx = s // th, s // tw
+    n_tiles = nty * ntx
+    wy = (2 * e) // th + 2   # tiles a 2e-wide span can touch
+    wx = (2 * e) // tw + 2
+
+    n = p_canvas.shape[0]
+    ty0 = jnp.floor((p_canvas[:, 1] - e) / th).astype(jnp.int32)
+    tx0 = jnp.floor((p_canvas[:, 0] - e) / tw).astype(jnp.int32)
+
+    entries = []
+    for dy in range(wy):
+        for dx in range(wx):
+            ty = ty0 + dy
+            tx = tx0 + dx
+            ok = active & (ty >= 0) & (ty < nty) & (tx >= 0) & (tx < ntx)
+            entries.append(jnp.where(ok, ty * ntx + tx, n_tiles))
+    bucket = jnp.stack(entries, axis=1).reshape(-1)          # (N * wy*wx,)
+    pidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                            (n, wy * wx)).reshape(-1)
+
+    bucket_sorted, pidx_sorted = jax.lax.sort_key_val(bucket, pidx)
+    from .grid import segmented_rank
+    rank = segmented_rank(bucket_sorted)
+    k = opts.tile_capacity
+    flat = jnp.where(rank < k, bucket_sorted * k + rank,
+                     jnp.int32((n_tiles + 1) * k))
+    table = jnp.full(((n_tiles + 2) * k,), -1, jnp.int32)
+    table = table.at[flat].set(pidx_sorted, mode="drop")
+    return table[:(n_tiles + 1) * k].reshape(n_tiles + 1, k)
+
+
+def splat_population(pos, last_pos, vel, radius, color, active,
+                     canvas_center, interpolation_alpha,
+                     texture_scale, motion_blur,
+                     opts: RenderOptions):
+    """Accumulated density canvas(es) for one population.
+
+    Returns ``(alpha, rgb_or_None)``: ``alpha`` is (S, S) screen-blend
+    accumulated gaussian density; ``rgb`` (S, S, 3) only when
+    ``opts.use_particle_color`` (the reference's experimental per-particle
+    color mode, test.lua:25).
+    """
+    s = opts.canvas_size
+    th, tw = opts.tile_h, opts.tile_w
+    nty, ntx = s // th, s // tw
+
+    # frame interpolation (instanced_draw.glsl:40) and canvas placement:
+    # canvas pixel (0,0) sits at canvas_center - S/2 (reference :2090, :2060)
+    p_world = last_pos + (pos - last_pos) * interpolation_alpha
+    origin = canvas_center - 0.5 * s
+    p_canvas = p_world - origin
+
+    speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    inv_speed = 1.0 / jnp.maximum(speed, EPS)
+    cos_a = jnp.where(speed > EPS, vel[:, 0] * inv_speed, 1.0)
+    sin_a = jnp.where(speed > EPS, vel[:, 1] * inv_speed, 0.0)
+    base_scale = radius * texture_scale
+    smear = 1.0 + speed * motion_blur                        # instanced_draw.glsl:25
+
+    table = _bin_particles_to_tiles(p_canvas, active, opts)  # (T+1, K)
+
+    # per-candidate packed parameters
+    a_p = jnp.where(active, color[:, 3], 0.0)
+    inv_sx = 1.0 / jnp.maximum(base_scale * smear, EPS)      # stretched axis
+    inv_sy = 1.0 / jnp.maximum(base_scale, EPS)
+
+    tile_ids = jnp.arange(nty * ntx, dtype=jnp.int32)
+    py_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
+    px_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
+
+    use_rgb = opts.use_particle_color
+
+    chunk = min(32, opts.tile_capacity)
+    n_chunks = -(-opts.tile_capacity // chunk)
+
+    def render_tile(tile_id):
+        ty = tile_id // ntx
+        tx = tile_id % ntx
+        px = px_grid + (tx * tw).astype(jnp.float32)         # (th, tw)
+        py = py_grid + (ty * th).astype(jnp.float32)
+        cand = table[tile_id]                                # (K,)
+        valid = cand >= 0
+        i = jnp.maximum(cand, 0)
+        # gather all candidate params up front, then sweep in vector chunks
+        pcx, pcy = p_canvas[i, 0], p_canvas[i, 1]
+        ca, sa = cos_a[i], sin_a[i]
+        bs = base_scale[i]
+        bs_sm = bs * smear[i]
+        isx, isy = inv_sx[i], inv_sy[i]
+        ap = jnp.where(valid, a_p[i], 0.0)
+        crgb = color[i, :3]
+
+        def resh(v):
+            return v.reshape(n_chunks, chunk)
+
+        pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap = map(
+            resh, (pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap))
+        crgb = crgb.reshape(n_chunks, chunk, 3)
+
+        def body(carry, xs):
+            acc_a, acc_rgb = carry
+            pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap, crgb = xs
+            dx = px[..., None] - pcx                         # (th, tw, C)
+            dy = py[..., None] - pcy
+            # rotate into the velocity frame (instanced_draw.glsl:27-35)
+            d_par = dx * ca + dy * sa
+            d_perp = -dx * sa + dy * ca
+            nx = d_par * isx
+            ny = d_perp * isy
+            r2 = nx * nx + ny * ny
+            # quad extent + static splat cap (texture clampzero analog)
+            inside = ((jnp.abs(d_par) <= bs_sm) & (jnp.abs(d_perp) <= bs)
+                      & (jnp.abs(dx) <= opts.max_splat_px)
+                      & (jnp.abs(dy) <= opts.max_splat_px))
+            g = jnp.where(inside, jnp.exp(-_GAUSS_COEFF * r2) * ap, 0.0)
+            acc_a = acc_a * jnp.prod(1.0 - g, axis=-1)       # screen blend
+            if use_rgb:
+                acc_rgb = acc_rgb * jnp.prod(1.0 - g[..., None] * crgb, axis=-2)
+            return (acc_a, acc_rgb), None
+
+        init_rgb = jnp.ones((th, tw, 3), jnp.float32) if use_rgb else jnp.zeros((1,))
+        (acc_a, acc_rgb), _ = jax.lax.scan(
+            body, (jnp.ones((th, tw), jnp.float32), init_rgb),
+            (pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap, crgb))
+        return 1.0 - acc_a, (1.0 - acc_rgb if use_rgb else acc_rgb)
+
+    tiles_a, tiles_rgb = jax.lax.map(render_tile, tile_ids)
+    alpha = tiles_a.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(s, s)
+    rgb = None
+    if use_rgb:
+        rgb = tiles_rgb.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4).reshape(s, s, 3)
+    return alpha, rgb
+
+
+# ------------------------------------------------------- post-process passes --
+
+def _shift_bilinear(img, dx, dy):
+    """Shift a 2D image by a (possibly fractional) offset, zero-padded.
+
+    Sampling ``tex(uv + offset)`` with linear filtering == shifting the image
+    by ``-offset``; callers pass the sample offset directly.
+    """
+    # sample at (x + dx, y + dy): 4-tap bilinear mix of integer shifts
+    fx, fy = jnp.floor(dx), jnp.floor(dy)
+    ax, ay = dx - fx, dy - fy
+    return (roll0_dyn(img, fy.astype(jnp.int32), fx.astype(jnp.int32)) * (1 - ax) * (1 - ay)
+            + roll0_dyn(img, fy.astype(jnp.int32), fx.astype(jnp.int32) + 1) * ax * (1 - ay)
+            + roll0_dyn(img, fy.astype(jnp.int32) + 1, fx.astype(jnp.int32)) * (1 - ax) * ay
+            + roll0_dyn(img, fy.astype(jnp.int32) + 1, fx.astype(jnp.int32) + 1) * ax * ay)
+
+
+_MAX_SHIFT = 16  # px; bounds outline thickness sampling
+
+
+def roll0_dyn(im, sy, sx):
+    """out[y, x] = im[y + sy, x + sx] with zero padding; |s| <= _MAX_SHIFT."""
+    p = _MAX_SHIFT
+    padded = jnp.pad(im, ((p, p), (p, p)))
+    return jax.lax.dynamic_slice(padded, (p + sy, p + sx), im.shape)
+
+
+_DIAG = float(np.sqrt(2.0) / 2.0)
+_OUTLINE_DIRECTIONS = [(1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0),
+                       (_DIAG, _DIAG), (-_DIAG, _DIAG),
+                       (_DIAG, -_DIAG), (-_DIAG, -_DIAG)]
+
+
+def outline_pass(alpha, outline_thickness, threshold, opts: RenderOptions):
+    """Morphological 8-direction dilation + smoothstep edge
+    (simulation_handler_outline.glsl). Returns outline coverage in [0, 1]."""
+    max_alpha = jnp.zeros_like(alpha)
+    # steps = ceil(thickness) + 1, step_size = thickness / steps (glsl:14-15);
+    # static unroll to max_outline_steps with masking (thickness is traced)
+    steps_f = jnp.ceil(outline_thickness) + 1.0
+    step_size = outline_thickness / steps_f
+    for step in range(1, opts.max_outline_steps + 1):
+        use = jnp.float32(step) <= steps_f
+        d = jnp.float32(step) * step_size
+        d = jnp.minimum(d, float(_MAX_SHIFT - 1))
+        for dx, dy in _OUTLINE_DIRECTIONS:
+            sampled = _shift_bilinear(alpha, d * dx, d * dy)
+            max_alpha = jnp.maximum(max_alpha, jnp.where(use, sampled, 0.0))
+    max_alpha = jnp.minimum(max_alpha, 1.0)
+
+    outline_threshold = 0.5 * threshold                      # glsl:44
+    coverage = _smoothstep(outline_threshold, outline_threshold + 0.035, max_alpha)
+    return jnp.where(alpha > 0.0, coverage, 0.0)             # glsl:11 discard
+
+
+_SPEC_LIGHT = np.array([1.0, -1.0, 1.0]) / np.linalg.norm([1.0, -1.0, 1.0])
+_VIEW = np.array([0.0, 0.0, 1.0])
+_HALF = (_SPEC_LIGHT + _VIEW) / np.linalg.norm(_SPEC_LIGHT + _VIEW)
+_SHADOW_LIGHT = np.array([-0.5, 0.75, 0.0]) / np.linalg.norm([-0.5, 0.75, 0.0])
+_SPECULAR_FOCUS = 48.0
+
+
+def lighting_pass(alpha, rgb, cfg_color, highlight_strength, shadow_strength,
+                  threshold, smoothness, use_lighting: bool,
+                  use_particle_color: bool):
+    """Threshold + Sobel-normal Blinn-Phong pass (simulation_handler_lighting.glsl).
+
+    Returns (rgb, a) premultiplied-ish exactly as the shader outputs:
+    ``vec4(center.rgb - shadow + specular, center.a)``.
+    """
+    value = _smoothstep(threshold - smoothness, threshold + smoothness, alpha)
+    if use_particle_color:
+        center_rgb = rgb * cfg_color[:3]
+        center_a = value * cfg_color[3]
+    else:
+        center_rgb = value[..., None] * cfg_color[:3]
+        center_a = value * cfg_color[3]
+
+    # 3x3 Sobel over the *raw* accumulated alpha (glsl:37-46)
+    z = jnp.pad(alpha, ((1, 1), (1, 1)))
+    tl, tm, tr = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
+    ml, mr = z[1:-1, :-2], z[1:-1, 2:]
+    bl, bm, br = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
+    gx = -tl + tr - 2.0 * ml + 2.0 * mr - bl + br
+    gy = -tl - 2.0 * tm - tr + bl + 2.0 * bm + br
+
+    inv_len = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+    nx, ny, nz = -gx * inv_len, -gy * inv_len, inv_len
+
+    out_rgb = center_rgb
+    if use_lighting:
+        ndoth = jnp.maximum(nx * _HALF[0] + ny * _HALF[1] + nz * _HALF[2], 0.0)
+        specular = highlight_strength * jnp.power(ndoth, _SPECULAR_FOCUS)
+        specular = jnp.where(highlight_strength > 0.0, specular, 0.0)
+
+        ndotl = nx * _SHADOW_LIGHT[0] + ny * _SHADOW_LIGHT[1] + nz * _SHADOW_LIGHT[2]
+        shadow = _smoothstep(0.0, 1.0, jnp.clip(ndotl * shadow_strength, 0.0, 1.0))
+        shadow = jnp.where(shadow_strength > 0.0, shadow, 0.0)
+        out_rgb = center_rgb - shadow[..., None] + specular[..., None]
+
+    return out_rgb, center_a
+
+
+def render_population(alpha, rgb, cfg, thresholding_threshold,
+                      thresholding_smoothness, use_lighting: bool,
+                      opts: RenderOptions):
+    """Outline + lighting for one population's canvas; returns (S, S, 4) straight
+    RGBA, already internally composited (outline under lighting, :2139-2159)."""
+    out_rgb = jnp.zeros(alpha.shape + (3,), jnp.float32)
+    out_a = jnp.zeros_like(alpha)
+
+    # outline (skipped when thickness == 0 via masking rather than branching)
+    coverage = outline_pass(alpha, cfg.outline_thickness, thresholding_threshold, opts)
+    coverage = jnp.where(cfg.outline_thickness > 0.0, coverage, 0.0)
+    o_rgb = cfg.outline_color[:3] * (coverage * cfg.outline_color[3])[..., None]
+    o_a = coverage * cfg.outline_color[3]
+    out_rgb, out_a = _src_over(out_rgb, out_a, o_rgb, o_a)
+
+    l_rgb, l_a = lighting_pass(
+        alpha, rgb, cfg.color, cfg.highlight_strength, cfg.shadow_strength,
+        thresholding_threshold, thresholding_smoothness, use_lighting,
+        opts.use_particle_color)
+    out_rgb, out_a = _src_over(out_rgb, out_a, l_rgb * jnp.clip(l_a, 0.0, 1.0)[..., None], l_a)
+    return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
+
+
+def _src_over(dst_rgb, dst_a, src_rgb_premul, src_a):
+    """Standard alpha blending, premultiplied source (LÖVE "alpha"/"alphamultiply")."""
+    a = jnp.clip(src_a, 0.0, 1.0)
+    out_rgb = src_rgb_premul + dst_rgb * (1.0 - a[..., None])
+    out_a = a + dst_a * (1.0 - a)
+    return out_rgb, out_a
+
+
+# ------------------------------------------------------------ orchestration --
+
+@functools.partial(jax.jit, static_argnames=("opts", "use_lighting", "vw", "vh"))
+def _render_frame(state, stats, cfg2, interpolation_alpha,
+                  threshold, smoothness, viewport_origin,
+                  opts: RenderOptions, use_lighting: bool, vw: int, vh: int):
+    """Jitted full-frame render: both populations splatted, shaded, composited."""
+    active = state.active_mask()
+
+    centers = (stats.last_centroid
+               + (stats.centroid - stats.last_centroid) * interpolation_alpha)
+
+    def pop_canvas(i):
+        cfg = jax.tree.map(lambda a: a[i], cfg2)
+        alpha, rgb = splat_population(
+            state.pos[i], state.last_pos[i], state.vel[i], state.radius[i],
+            state.color[i], active[i], centers[i], interpolation_alpha,
+            cfg.texture_scale, cfg.motion_blur, opts)
+        return render_population(alpha, rgb, cfg, threshold, smoothness,
+                                 use_lighting, opts), alpha
+
+    screen_rgb = jnp.zeros((vh, vw, 3), jnp.float32)
+    screen_a = jnp.zeros((vh, vw), jnp.float32)
+    canvases = []
+    for i in (0, 1):  # white first, then yolk (:2163-2171)
+        rgba, raw_alpha = pop_canvas(i)
+        canvases.append(raw_alpha)
+        # canvas top-left in viewport pixels (reference :2132-2133), rounded
+        corner = stats.centroid[i] - 0.5 * opts.canvas_size - viewport_origin
+        cx = jnp.round(corner[0]).astype(jnp.int32)
+        cy = jnp.round(corner[1]).astype(jnp.int32)
+        screen_rgb, screen_a = _paste_src_over(screen_rgb, screen_a, rgba, cx, cy)
+
+    frame = jnp.concatenate([screen_rgb, screen_a[..., None]], axis=-1)
+    return frame, jnp.stack(canvases)
+
+
+def _paste_src_over(dst_rgb, dst_a, src_rgba, x0, y0):
+    """Alpha-blend a canvas onto the screen at integer offset (x0, y0), clipped."""
+    vh, vw = dst_a.shape
+    s = src_rgba.shape[0]
+    # shift the canvas into a viewport-sized buffer via padded dynamic_slice
+    pad_y, pad_x = s, s
+    src = jnp.pad(src_rgba, ((pad_y, pad_y + max(vh - s, 0)),
+                             (pad_x, pad_x + max(vw - s, 0)), (0, 0)))
+    start_y = jnp.clip(pad_y - y0, 0, src.shape[0] - vh)
+    start_x = jnp.clip(pad_x - x0, 0, src.shape[1] - vw)
+    placed = jax.lax.dynamic_slice(src, (start_y, start_x, 0), (vh, vw, 4))
+    # when clipping clamps the start, the canvas lands shifted; acceptable for
+    # mostly-on-screen content (reference clips identically at screen edges)
+    src_a = jnp.clip(placed[..., 3], 0.0, 1.0)
+    src_rgb = placed[..., :3]
+    out_rgb = src_rgb * src_a[..., None] + dst_rgb * (1.0 - src_a[..., None])
+    out_a = src_a + dst_a * (1.0 - src_a)
+    return out_rgb, out_a
+
+
+def draw(handler, viewport=None, background=None):
+    """Render the handler's current state to an (H, W, 4) straight-alpha image.
+
+    ``viewport=(x, y, w, h)`` in world pixels. ``background`` optionally an
+    (r, g, b, a) tuple composited under everything.
+    """
+    if viewport is None:
+        viewport = (0.0, 0.0, 800, 600)
+    x, y, w, h = viewport
+    opts = RenderOptions(canvas_size=handler._canvas_size,
+                         use_particle_color=handler._use_particle_color)
+    cfg2 = handler._device_cfg2()
+    frame, canvases = _render_frame(
+        handler.state, handler.stats, cfg2,
+        jnp.float32(handler.interpolation_alpha),
+        jnp.float32(handler._thresholding_threshold),
+        jnp.float32(handler._thresholding_smoothness),
+        jnp.asarray([x, y], jnp.float32),
+        opts, bool(handler._use_lighting), int(w), int(h))
+    handler._frames = canvases
+    if background is not None:
+        bg = jnp.asarray(background, jnp.float32)
+        a = frame[..., 3:4]
+        frame = jnp.concatenate([
+            frame[..., :3] * 1.0 + bg[:3] * (1.0 - a),
+            jnp.maximum(frame[..., 3:4], bg[3]),
+        ], axis=-1)
+    return frame

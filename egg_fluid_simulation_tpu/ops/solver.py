@@ -60,6 +60,7 @@ class SolverOptions:
     slots_per_cell: int = 16        # K, per-cell capacity cap
     cohesion_mode: str = "spacing"  # "spacing" (documented intent) | "literal"
     budget_mode: str = "ordered"    # "ordered" (reference 0.05*n^2 cutoff) | "off"
+    pair_chunk: int = 1 << 15       # particles per candidate-sweep chunk (memory cap)
     n_substeps: int = 2             # reference default, simulation_handler.lua:170
     n_collision_steps: int = 3      # reference default, :171
 
@@ -156,52 +157,85 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
         max_pairs = jnp.float32(0.05) * n_live * n_live
         new_pairs = jnp.sum(valid & (cand > self_idx), axis=1).astype(jnp.float32)
         cum = jnp.cumsum(new_pairs) - new_pairs  # exclusive prefix
-        pair_min = jnp.minimum(cand, self_idx)
-        valid = valid & (cum[jnp.maximum(pair_min, 0)] < max_pairs)
+    else:
+        max_pairs = jnp.float32(0.0)
+        cum = jnp.zeros((n,), jnp.float32)
 
-    o_pos = pos[safe]                                       # (N, 9K, 2)
-    o_w = jnp.where(valid, inv_mass[safe], 0.0)
-    o_r = jnp.where(valid, radius[safe], 0.0)
-    o_batch = batch_slot[safe]
+    # Pack every per-particle field into one matrix so the candidate sweep is a
+    # SINGLE row gather — separate per-field gathers cost ~5x more on TPU.
+    # batch slot and budget prefix ride as floats (exact for < 2^24).
+    pack = jnp.stack([pos[:, 0], pos[:, 1], inv_mass, radius,
+                      batch_slot.astype(jnp.float32), cum], axis=1)  # (N, 6)
+    batch_f = batch_slot.astype(jnp.float32)
+    ordered = options.budget_mode == "ordered"
 
-    s_pos = pos[:, None, :]
-    s_w = inv_mass[:, None]
-    s_r = radius[:, None]
+    def sweep(args):
+        """Candidate sweep for one particle chunk -> its (C, 2) correction sum.
 
-    delta = o_pos - s_pos
-    dist2 = jnp.sum(delta * delta, axis=-1)
-    dist = jnp.sqrt(dist2)
-    direction = jnp.where((dist > EPS)[..., None],
-                          delta / jnp.maximum(dist, EPS)[..., None], 0.0)
+        Chunked so the (C, 9K, 6) gathered block stays bounded in HBM at large
+        N (the unchunked (N, 9K, 6) form OOMs at ~10^5 particles).
+        """
+        (cand_c, valid_c, s_x, s_y, s_w, s_r, s_batch, s_cum, s_idx) = args
+        safe = jnp.maximum(cand_c, 0)
+        g = pack[safe]                                      # (C, 9K, 6)
+        o_x, o_y = g[..., 0], g[..., 1]
+        o_w = jnp.where(valid_c, g[..., 2], 0.0)
+        o_r = jnp.where(valid_c, g[..., 3], 0.0)
+        valid = valid_c
+        if ordered:
+            # cum[min(self, cand)] without a second gather
+            cum_min = jnp.where(cand_c < s_idx[:, None], g[..., 5], s_cum[:, None])
+            valid = valid & (cum_min < max_pairs)
 
-    w_sum = s_w + o_w
-    degenerate = w_sum < EPS                                # :1601
+        dx = o_x - s_x[:, None]
+        dy = o_y - s_y[:, None]
+        dist2 = dx * dx + dy * dy
+        dist = jnp.sqrt(dist2)
+        inv_dist = jnp.where(dist > EPS, 1.0 / jnp.maximum(dist, EPS), 0.0)
+        dir_x, dir_y = dx * inv_dist, dy * inv_dist         # zero when coincident
 
-    def half_correction(target_distance, compliance, apply):
-        """Self's half of ``_enforce_distance`` (:1514-1545)."""
-        violation = dist - target_distance
-        divisor = w_sum + compliance
-        corr = jnp.where(divisor >= EPS, -violation / jnp.maximum(divisor, EPS), 0.0)
-        corr = jnp.clip(corr, -jnp.abs(violation), jnp.abs(violation))  # :1535-1536
-        vec = -direction * (corr * s_w)[..., None]          # a-side of :1538-1539
-        return jnp.where((apply & ~degenerate)[..., None], vec, 0.0)
+        w_sum = s_w[:, None] + o_w
+        ok = valid & (w_sum >= EPS)                         # :1601
 
-    total = jnp.zeros_like(pos)
+        def half_scale(target_distance, compliance, apply):
+            """|correction| * w_self of ``_enforce_distance`` (:1514-1545)."""
+            violation = dist - target_distance
+            divisor = w_sum + compliance
+            corr = jnp.where(divisor >= EPS, -violation / jnp.maximum(divisor, EPS), 0.0)
+            corr = jnp.clip(corr, -jnp.abs(violation), jnp.abs(violation))  # :1535-1536
+            return jnp.where(apply & ok, corr * s_w[:, None], 0.0)  # :1538-1539
 
-    # cohesion (:1603-1630)
-    if options.cohesion_mode == "spacing":
-        same_batch = valid & (o_batch == batch_slot[:, None])
-        coh_dist = cfg.cohesion_interaction_distance_factor * (s_r + o_r)
-        coh_apply = same_batch & (dist2 <= coh_dist * coh_dist)
-        total = total + jnp.sum(half_correction(coh_dist, cohesion_compliance, coh_apply), axis=1)
-    # "literal" mode: same-batch interaction distance is 0 (:1609-1613), so the
-    # constraint only fires for exactly coincident particles where the
-    # normalized direction is the zero vector -> correction is identically 0.
+        scale = jnp.zeros_like(dist)
 
-    # collision (:1632-1654)
-    min_dist = cfg.collision_overlap_factor * (s_r + o_r)
-    col_apply = valid & (dist2 <= min_dist * min_dist)
-    total = total + jnp.sum(half_correction(min_dist, collision_compliance, col_apply), axis=1)
+        # cohesion (:1603-1630)
+        if options.cohesion_mode == "spacing":
+            same_batch = g[..., 4] == s_batch[:, None]
+            coh_dist = cfg.cohesion_interaction_distance_factor * (s_r[:, None] + o_r)
+            scale = scale + half_scale(coh_dist, cohesion_compliance,
+                                       same_batch & (dist2 <= coh_dist * coh_dist))
+        # "literal" mode: same-batch interaction distance is 0 (:1609-1613):
+        # the constraint only fires for exactly coincident particles where the
+        # normalized direction is the zero vector -> correction identically 0.
+
+        # collision (:1632-1654)
+        min_dist = cfg.collision_overlap_factor * (s_r[:, None] + o_r)
+        scale = scale + half_scale(min_dist, collision_compliance,
+                                   dist2 <= min_dist * min_dist)
+
+        return jnp.stack([jnp.sum(-dir_x * scale, axis=1),
+                          jnp.sum(-dir_y * scale, axis=1)], axis=1)
+
+    c = min(options.pair_chunk, n)
+    n_chunks = n // c
+    self_idx_flat = jnp.arange(n, dtype=jnp.int32)
+    args = (cand, valid, pos[:, 0], pos[:, 1], inv_mass, radius,
+            batch_f, cum, self_idx_flat)
+    if n_chunks <= 1:
+        total = sweep(args)
+    else:
+        chunked = jax.tree.map(
+            lambda a: a.reshape((n_chunks, c) + a.shape[1:]), args)
+        total = jax.lax.map(sweep, chunked).reshape(n, 2)
 
     return pos + jnp.where(active[:, None], relaxation * total, 0.0)
 
