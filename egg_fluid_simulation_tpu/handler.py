@@ -138,7 +138,13 @@ class SimulationHandler:
         self._particle_texture_padding = 3
         self._particle_texture_resolution_factor = 4
 
-        self._options = options or SolverOptions()
+        if options is None:
+            # small populations: exact gather engine (oracle-faithful budget
+            # ordering); large: dense plane engine (Pallas sweep, no gathers in
+            # the pair path). The reference budget is inert above ~360 live
+            # particles anyway (0.05 n^2 > 18 n), so dense loses nothing there.
+            options = SolverOptions(engine="dense" if capacity >= 16384 else "gather")
+        self._options = options
         self._canvas_size = canvas_size
         self._jacobi_relaxation = float(jacobi_relaxation)
 

@@ -112,5 +112,16 @@ def neighbor_candidates(grid: CellGrid) -> jnp.ndarray:
         [_bucket_of(cx + dx, cy + dy, grid.table_size) for dx, dy in NEIGHBOR_OFFSETS],
         axis=1,
     )  # (N, 9)
+    # Distinct cells can hash to the same bucket; the reference's Szudzik
+    # pairing (:1474-1483) is injective so it never visits a cell twice —
+    # mask repeated buckets or their candidates would be double-applied.
+    n_off = buckets.shape[1]
+    dup = jnp.zeros_like(buckets, dtype=bool)
+    for j in range(1, n_off):
+        seen = jnp.zeros((buckets.shape[0],), bool)
+        for i in range(j):
+            seen = seen | (buckets[:, i] == buckets[:, j])
+        dup = dup.at[:, j].set(seen)
     cand = grid.table[buckets]  # (N, 9, K)
+    cand = jnp.where(dup[:, :, None], -1, cand)
     return cand.reshape(cand.shape[0], -1)

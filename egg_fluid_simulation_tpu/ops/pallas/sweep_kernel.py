@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for the dense-grid pair sweep.
+
+One fused kernel per collision pass: each program DMAs a block of grid rows
+(plus a one-row vertical halo) from HBM into VMEM, then evaluates every
+(dy, lane-roll) pair term of the 3x3-cell XPBD projection entirely on-chip —
+the dense-engine equivalent of the reference's ``_solve_collision``
+(``/root/reference/simulation_handler.lua:1548-1666``) with
+``_enforce_distance`` math (:1514-1545).
+
+Why a kernel: XLA materializes each of the ~45 shifted pair terms to HBM
+(~150 ms/sweep at 1M slots); fusing them in VMEM turns the sweep into one
+read + one write of the plane tensor (~35 MB) plus pure VPU arithmetic.
+
+The jnp implementations in ops/dense.py are the golden model; unit tests
+diff the kernel (in interpret mode off-TPU) against them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.mathx import EPS
+from .. import dense as D
+
+__all__ = ["sweep_planes", "count_planes"]
+
+_BLOCK_ROWS = 8
+
+
+def _lane_mask_2d(rows: int, lanes: int, k: int, d: int):
+    """(rows, lanes) bool — cells of pair (l, l-d) within +-1 column."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1) % k
+    cell_diff = -jnp.floor_divide(s - d, k)
+    return jnp.abs(cell_diff) <= 1
+
+
+def _roll(x, d):
+    """Lane roll matching jnp.roll(x, d, axis=-1): out[l] = x[l - d]."""
+    if d == 0:
+        return x
+    lanes = x.shape[-1]
+    d = d % lanes
+    return jnp.concatenate([x[..., lanes - d:], x[..., :lanes - d]], axis=-1)
+
+
+def _pair_terms(block, r0: int, rows: int, k: int, params,
+                cohesion: bool, ordered_budget: bool, count_only: bool):
+    """Shared sweep body over self rows [r0, r0+rows) of a (F, R, L) block.
+
+    Returns (tx, ty) correction sums, or the examined-pair count when
+    ``count_only`` — the same static loop structure as
+    :func:`...ops.dense.sweep_planes_jnp` / ``count_planes_jnp``.
+    """
+    lanes = block.shape[-1]
+
+    def rowsl(f, dy):
+        return block[f][r0 + dy:r0 + dy + rows]  # static slice (Mosaic-lowerable)
+
+    sx, sy = rowsl(D.FIELD_X, 0), rowsl(D.FIELD_Y, 0)
+    sw, sr = rowsl(D.FIELD_W, 0), rowsl(D.FIELD_R, 0)
+    sb, scum = rowsl(D.FIELD_BATCH, 0), rowsl(D.FIELD_CUM, 0)
+    sidx, socc = rowsl(D.FIELD_IDX, 0), rowsl(D.FIELD_OCC, 0)
+
+    if count_only:
+        acc = jnp.zeros_like(sx)
+    else:
+        tx = jnp.zeros_like(sx)
+        ty = jnp.zeros_like(sy)
+        collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs = params
+
+    for dy in (-1, 0, 1):
+        o_block = [block[f][r0 + dy:r0 + dy + rows] for f in range(D.N_FIELDS)]
+        for d in range(-(2 * k - 1), 2 * k):
+            if dy == 0 and d == 0:
+                continue
+            mask = _lane_mask_2d(rows, lanes, k, d)
+            oocc = _roll(o_block[D.FIELD_OCC], d)
+            oidx = _roll(o_block[D.FIELD_IDX], d)
+            valid = (socc > 0.0) & (oocc > 0.0) & mask
+
+            if count_only:
+                acc = acc + jnp.where(valid & (oidx > sidx), 1.0, 0.0)
+                continue
+
+            ox, oy = _roll(o_block[D.FIELD_X], d), _roll(o_block[D.FIELD_Y], d)
+            ow, orr = _roll(o_block[D.FIELD_W], d), _roll(o_block[D.FIELD_R], d)
+
+            if ordered_budget:
+                ocum = _roll(o_block[D.FIELD_CUM], d)
+                cum_min = jnp.where(oidx < sidx, ocum, scum)
+                valid = valid & (cum_min < max_pairs)
+
+            ddx = ox - sx
+            ddy = oy - sy
+            dist2 = ddx * ddx + ddy * ddy
+            dist = jnp.sqrt(dist2)
+            inv_dist = jnp.where(dist > EPS, 1.0 / jnp.maximum(dist, EPS), 0.0)
+
+            w_sum = sw + ow
+            ok = valid & (w_sum >= EPS)
+
+            scale = jnp.zeros_like(dist)
+            if cohesion:
+                ob = _roll(o_block[D.FIELD_BATCH], d)
+                coh_d = cohesion_f * (sr + orr)
+                viol = dist - coh_d
+                corr = jnp.where(w_sum + cohesion_c >= EPS,
+                                 -viol / jnp.maximum(w_sum + cohesion_c, EPS), 0.0)
+                corr = jnp.clip(corr, -jnp.abs(viol), jnp.abs(viol))
+                scale = scale + jnp.where(ok & (sb == ob) & (dist2 <= coh_d * coh_d),
+                                          corr * sw, 0.0)
+
+            min_d = overlap_f * (sr + orr)
+            viol = dist - min_d
+            corr = jnp.where(w_sum + collision_c >= EPS,
+                             -viol / jnp.maximum(w_sum + collision_c, EPS), 0.0)
+            corr = jnp.clip(corr, -jnp.abs(viol), jnp.abs(viol))
+            scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
+                                      corr * sw, 0.0)
+
+            tx = tx + (-ddx * inv_dist) * scale
+            ty = ty + (-ddy * inv_dist) * scale
+
+    return acc if count_only else (tx, ty)
+
+
+def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
+                 block_rows: int):
+    def kernel(params_ref, planes_hbm, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        # rows [i*B, i*B + B + 2*ROW_PAD): 8-row aligned (Mosaic DMA tiling);
+        # self rows sit at scratch offset ROW_PAD
+        dma = pltpu.make_async_copy(
+            planes_hbm.at[:, pl.ds(i * block_rows, block_rows + 2 * D.ROW_PAD), :],
+            scratch, sem)
+        dma.start()
+        dma.wait()
+        block = scratch[:]
+        params = tuple(params_ref[j] for j in range(5))
+        out = _pair_terms(block, D.ROW_PAD, block_rows, k, params,
+                          cohesion, ordered_budget, count_only)
+        if count_only:
+            out_ref[:] = out
+        else:
+            out_ref[0] = out[0]
+            out_ref[1] = out[1]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "cohesion", "ordered_budget", "interpret"))
+def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
+                  ordered_budget: bool, interpret: bool = False):
+    f, g2, lanes = planes.shape
+    g = g2 - 2 * D.ROW_PAD
+    b = _BLOCK_ROWS
+    assert g % b == 0, "dense_grid_dim must be a multiple of the sweep block"
+
+    kernel = _make_kernel(k, cohesion, ordered_budget, False, b)
+    return pl.pallas_call(
+        kernel,
+        grid=(g // b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((2, b, lanes), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, g, lanes), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((f, b + 2 * D.ROW_PAD, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(params_packed, planes)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _count_pallas(planes, k: int, interpret: bool = False):
+    f, g2, lanes = planes.shape
+    g = g2 - 2 * D.ROW_PAD
+    b = _BLOCK_ROWS
+    assert g % b == 0
+
+    kernel = _make_kernel(k, False, False, True, b)
+    dummy = jnp.zeros((8,), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(g // b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((b, lanes), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, lanes), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((f, b + 2 * D.ROW_PAD, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(dummy, planes)
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def sweep_planes(planes, params: "D.SweepParams", k: int, *, cohesion: bool,
+                 ordered_budget: bool, use_pallas: bool = True):
+    """(2, G, L) pair-correction sums; Pallas on TPU, jnp elsewhere."""
+    if use_pallas and _on_tpu():
+        return _sweep_pallas(planes, params.pack(), k, cohesion, ordered_budget)
+    return D.sweep_planes_jnp(planes, params, k, cohesion, ordered_budget)
+
+
+def count_planes(planes, k: int, *, use_pallas: bool = True):
+    """(G, L) examined-pair counts for the ordered budget."""
+    if use_pallas and _on_tpu():
+        return _count_pallas(planes, k)
+    return D.count_planes_jnp(planes, k)

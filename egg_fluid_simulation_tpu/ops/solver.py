@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from ..config import DeviceConfig
 from ..state import ParticleState, StepStats
 from ..utils.mathx import EPS, jnp_mix
+from . import dense as dense_ops
 from . import grid as grid_ops
 
 __all__ = ["SolverOptions", "step", "substep", "pre_solve", "solve_follow",
@@ -56,11 +57,17 @@ _BIG = jnp.float32(3.4e38)
 @dataclass(frozen=True)
 class SolverOptions:
     """Static solver configuration (hashable; changing any field recompiles)."""
-    table_size: int = 1 << 14       # grid buckets, power of two
-    slots_per_cell: int = 16        # K, per-cell capacity cap
+    table_size: int = 1 << 14       # gather engine: grid buckets, power of two
+    slots_per_cell: int = 16        # gather engine: K, per-cell capacity cap
     cohesion_mode: str = "spacing"  # "spacing" (documented intent) | "literal"
     budget_mode: str = "ordered"    # "ordered" (reference 0.05*n^2 cutoff) | "off"
-    pair_chunk: int = 1 << 15       # particles per candidate-sweep chunk (memory cap)
+    pair_chunk: int = 1 << 15       # gather engine: sweep chunk (memory cap)
+    engine: str = "gather"          # "gather" (exact, small N) | "dense" (big N)
+    dense_grid_dim: int = 512       # dense engine: G (cells per axis)
+    dense_slots: int = 4            # dense engine: K (slots per cell)
+    use_pallas: bool = True         # dense engine: Pallas sweep on TPU
+    dense_rebin: str = "substep"    # "substep" (bin once, sweep in-grid) |
+                                    # "pass" (rebuild per collision pass, strict)
     n_substeps: int = 2             # reference default, simulation_handler.lua:170
     n_collision_steps: int = 3      # reference default, :171
 
@@ -68,6 +75,8 @@ class SolverOptions:
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
         assert self.cohesion_mode in ("spacing", "literal")
         assert self.budget_mode in ("ordered", "off")
+        assert self.engine in ("gather", "dense")
+        assert self.dense_rebin in ("substep", "pass")
 
 
 def strength_to_compliance(strength: jnp.ndarray, sub_dt: jnp.ndarray) -> jnp.ndarray:
@@ -153,9 +162,16 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
         # processing m = min(p, q) (q > m is still unmarked then), so its
         # examination rank is ~ the count of pairs first seen at particles
         # before m. Pairs past the budget are dropped, both halves alike.
+        # Counted pairs must be the TRUE 3x3-cell set (like the reference's
+        # injective Szudzik hash) — bucket-collision phantoms are excluded.
         n_live = jnp.sum(active).astype(jnp.float32)
         max_pairs = jnp.float32(0.05) * n_live * n_live
-        new_pairs = jnp.sum(valid & (cand > self_idx), axis=1).astype(jnp.float32)
+        cell_xy = grid.cell_xy
+        o_cells = cell_xy[jnp.maximum(cand, 0)]             # (N, 9K, 2)
+        near = ((jnp.abs(o_cells[..., 0] - cell_xy[:, None, 0]) <= 1)
+                & (jnp.abs(o_cells[..., 1] - cell_xy[:, None, 1]) <= 1))
+        new_pairs = jnp.sum(valid & near & (cand > self_idx),
+                            axis=1).astype(jnp.float32)
         cum = jnp.cumsum(new_pairs) - new_pairs  # exclusive prefix
     else:
         max_pairs = jnp.float32(0.0)
@@ -163,9 +179,15 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
 
     # Pack every per-particle field into one matrix so the candidate sweep is a
     # SINGLE row gather — separate per-field gathers cost ~5x more on TPU.
-    # batch slot and budget prefix ride as floats (exact for < 2^24).
+    # batch slot, budget prefix, and cell coords ride as floats (< 2^24 exact).
+    # Cell coords are needed because bucket hash collisions can admit
+    # non-neighbor cells whose particles still sit within the collision radius
+    # (the reference's cell size under-covers it, :1756-1760) — the true 3x3
+    # cell test below keeps the pair set identical to the reference's.
+    cell_f = grid.cell_xy.astype(jnp.float32)
     pack = jnp.stack([pos[:, 0], pos[:, 1], inv_mass, radius,
-                      batch_slot.astype(jnp.float32), cum], axis=1)  # (N, 6)
+                      batch_slot.astype(jnp.float32), cum,
+                      cell_f[:, 0], cell_f[:, 1]], axis=1)  # (N, 8)
     batch_f = batch_slot.astype(jnp.float32)
     ordered = options.budget_mode == "ordered"
 
@@ -175,13 +197,16 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
         Chunked so the (C, 9K, 6) gathered block stays bounded in HBM at large
         N (the unchunked (N, 9K, 6) form OOMs at ~10^5 particles).
         """
-        (cand_c, valid_c, s_x, s_y, s_w, s_r, s_batch, s_cum, s_idx) = args
+        (cand_c, valid_c, s_x, s_y, s_w, s_r, s_batch, s_cum, s_idx,
+         s_cx, s_cy) = args
         safe = jnp.maximum(cand_c, 0)
         g = pack[safe]                                      # (C, 9K, 6)
         o_x, o_y = g[..., 0], g[..., 1]
         o_w = jnp.where(valid_c, g[..., 2], 0.0)
         o_r = jnp.where(valid_c, g[..., 3], 0.0)
-        valid = valid_c
+        valid = (valid_c
+                 & (jnp.abs(g[..., 6] - s_cx[:, None]) <= 1.0)
+                 & (jnp.abs(g[..., 7] - s_cy[:, None]) <= 1.0))
         if ordered:
             # cum[min(self, cand)] without a second gather
             cum_min = jnp.where(cand_c < s_idx[:, None], g[..., 5], s_cum[:, None])
@@ -229,7 +254,7 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
     n_chunks = n // c
     self_idx_flat = jnp.arange(n, dtype=jnp.int32)
     args = (cand, valid, pos[:, 0], pos[:, 1], inv_mass, radius,
-            batch_f, cum, self_idx_flat)
+            batch_f, cum, self_idx_flat, cell_f[:, 0], cell_f[:, 1])
     if n_chunks <= 1:
         total = sweep(args)
     else:
@@ -238,6 +263,130 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
         total = jax.lax.map(sweep, chunked).reshape(n, 2)
 
     return pos + jnp.where(active[:, None], relaxation * total, 0.0)
+
+
+def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
+                      collision_compliance, cohesion_compliance,
+                      relaxation, options: SolverOptions):
+    """Dense-engine grid rebuild + pair sweep pass (see ops/dense.py).
+
+    Same constraint math as :func:`solve_pairs`; the neighbor structure is the
+    dense plane tensor and the sweep is lane rolls (Pallas on TPU, jnp
+    elsewhere) instead of candidate gathers.
+    """
+    g, k = options.dense_grid_dim, options.dense_slots
+    lanes = g * k
+    cell_size, max_pairs = _dense_setup(pos, active, cfg, options)
+
+    binning = dense_ops.bin_to_planes(
+        pos, inv_mass, radius, batch_slot, active, cell_size,
+        grid_dim=g, slots_per_cell=k)
+    if options.budget_mode == "ordered":
+        binning = _dense_add_cum(binning, max_pairs, k, options.use_pallas)
+
+    params = dense_ops.SweepParams(
+        collision_compliance=collision_compliance,
+        cohesion_compliance=cohesion_compliance,
+        collision_overlap_factor=cfg.collision_overlap_factor,
+        cohesion_factor=cfg.cohesion_interaction_distance_factor,
+        max_pairs=max_pairs)
+    cohesion = options.cohesion_mode == "spacing"
+    ordered = options.budget_mode == "ordered"
+    from .pallas import sweep_kernel
+
+    corr = sweep_kernel.sweep_planes(binning.planes, params, k,
+                                     cohesion=cohesion, ordered_budget=ordered,
+                                     use_pallas=options.use_pallas)  # (2, G, L)
+    corr_flat = corr.reshape(2, -1)
+    safe_slot = jnp.minimum(binning.slot, lanes * g - 1)
+    dx = jnp.where(binning.slot < lanes * g, corr_flat[0][safe_slot], 0.0)
+    dy = jnp.where(binning.slot < lanes * g, corr_flat[1][safe_slot], 0.0)
+    delta = jnp.stack([dx, dy], axis=1)
+    return pos + jnp.where(active[:, None], relaxation * delta, 0.0)
+
+
+def _dense_setup(pos, active, cfg: DeviceConfig, options: SolverOptions):
+    """Cell size (auto-coarsening) + ordered-budget cutoff for the dense engine."""
+    max_factor = jnp.maximum(cfg.collision_overlap_factor,
+                             cfg.cohesion_interaction_distance_factor)
+    ref_cell = jnp.maximum(1.0, cfg.max_radius * max_factor)  # :1756-1760
+    g = options.dense_grid_dim
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(active[:, None], pos, big), axis=0)
+    hi = jnp.max(jnp.where(active[:, None], pos, -big), axis=0)
+    extent = jnp.maximum(jnp.max(hi - lo), 0.0)
+    cell_size = jnp.maximum(ref_cell, extent / (g - 2 * dense_ops.MARGIN - 1))
+
+    if options.budget_mode == "ordered":
+        n_live = jnp.sum(active).astype(jnp.float32)
+        max_pairs = jnp.float32(0.05) * n_live * n_live
+    else:
+        max_pairs = jnp.float32(3.4e38)
+    return cell_size, max_pairs
+
+
+def _dense_add_cum(binning, max_pairs, k, use_pallas):
+    """Ordered-budget prefix (reference :1656-1658) in grid layout."""
+    from .pallas import sweep_kernel
+    g_lanes = binning.planes.shape[2] * (binning.planes.shape[1] - 2 * dense_ops.ROW_PAD)
+    counts = sweep_kernel.count_planes(binning.planes, k, use_pallas=use_pallas)
+    safe_slot = jnp.minimum(binning.slot, g_lanes - 1)
+    c_p = jnp.where(binning.slot < g_lanes, counts.reshape(-1)[safe_slot], 0.0)
+    cum = jnp.cumsum(c_p) - c_p
+    return dense_ops.update_cum_field(binning, cum)
+
+
+def dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
+                          cfg: DeviceConfig, collision_compliance,
+                          cohesion_compliance, relaxation,
+                          options: SolverOptions, n_passes: int):
+    """All collision passes of one substep on the dense grid, binned ONCE.
+
+    The reference rebuilds its spatial hash every pass (:1866-1879), but its
+    own hash goes stale across substeps anyway (SURVEY.md §5.2) and intra-
+    substep movement is far below a cell, so the grid is rebuilt per substep
+    and positions update *inside* the plane tensor between passes — saving the
+    two most expensive TPU ops (sort + permutation scatter) per pass.
+    Use ``dense_rebin="pass"`` for strict per-pass rebinning.
+    """
+    k = options.dense_slots
+    g = options.dense_grid_dim
+    lanes = g * k
+    cell_size, max_pairs = _dense_setup(pos, active, cfg, options)
+
+    binning = dense_ops.bin_to_planes(
+        pos, inv_mass, radius, batch_slot, active, cell_size,
+        grid_dim=g, slots_per_cell=k)
+    if options.budget_mode == "ordered":
+        binning = _dense_add_cum(binning, max_pairs, k, options.use_pallas)
+
+    params = dense_ops.SweepParams(
+        collision_compliance=collision_compliance,
+        cohesion_compliance=cohesion_compliance,
+        collision_overlap_factor=cfg.collision_overlap_factor,
+        cohesion_factor=cfg.cohesion_interaction_distance_factor,
+        max_pairs=max_pairs)
+    cohesion = options.cohesion_mode == "spacing"
+    ordered = options.budget_mode == "ordered"
+    from .pallas import sweep_kernel
+    rp = dense_ops.ROW_PAD
+
+    def one_pass(_, planes):
+        corr = sweep_kernel.sweep_planes(planes, params, k, cohesion=cohesion,
+                                         ordered_budget=ordered,
+                                         use_pallas=options.use_pallas)
+        planes = planes.at[dense_ops.FIELD_X, rp:rp + g].add(relaxation * corr[0])
+        planes = planes.at[dense_ops.FIELD_Y, rp:rp + g].add(relaxation * corr[1])
+        return planes
+
+    planes = jax.lax.fori_loop(0, n_passes, one_pass, binning.planes)
+
+    # extract final positions: one row gather per particle
+    xy = jnp.stack([planes[dense_ops.FIELD_X, rp:rp + g],
+                    planes[dense_ops.FIELD_Y, rp:rp + g]], axis=-1).reshape(-1, 2)
+    got = xy[jnp.minimum(binning.slot, g * lanes - 1)]
+    keep = (binning.slot < g * lanes) & active
+    return jnp.where(keep[:, None], got, pos)
 
 
 def post_solve(pos, prev, active, batch_slot, sub_dt, max_batches: int):
@@ -276,11 +425,18 @@ def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
     pos = solve_follow(pos, inv_mass, batch_slot, active,
                        batch_target, follow_radius, follow_c)
 
-    def collision_pass(_, p):
-        return solve_pairs(p, inv_mass, radius, batch_slot, active, cfg,
+    if options.engine == "dense" and options.dense_rebin == "substep":
+        pos = dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
+                                    cfg, collision_c, cohesion_c, relaxation,
+                                    options, options.n_collision_steps)
+    else:
+        pair_fn = solve_pairs if options.engine == "gather" else solve_pairs_dense
+
+        def collision_pass(_, p):
+            return pair_fn(p, inv_mass, radius, batch_slot, active, cfg,
                            collision_c, cohesion_c, relaxation, options)
 
-    pos = jax.lax.fori_loop(0, options.n_collision_steps, collision_pass, pos)
+        pos = jax.lax.fori_loop(0, options.n_collision_steps, collision_pass, pos)
 
     vel, centroid, max_velocity, batch_sum, batch_count = post_solve(
         pos, prev, active, batch_slot, sub_dt, max_batches)
