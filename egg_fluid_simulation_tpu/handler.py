@@ -89,15 +89,9 @@ def _compute_stats(state: ParticleState) -> StepStats:
     max_rad = jnp.maximum(jnp.max(jnp.where(active, r, 0.0), axis=1), 1.0)
 
     nb = state.max_batches
-
-    def per_pop(slot, act, p):
-        s = jnp.zeros((nb, 2), jnp.float32).at[slot].add(
-            jnp.where(act[:, None], p, 0.0), mode="drop")
-        c = jnp.zeros((nb,), jnp.float32).at[slot].add(
-            jnp.where(act, 1.0, 0.0), mode="drop")
-        return s, c
-
-    batch_sum, batch_count = jax.vmap(per_pop)(state.batch_slot, active, pos)
+    batch_sum, batch_count = jax.vmap(
+        lambda p, a, s: solver_ops.batch_segment_sums(p, a, s, nb)
+    )(pos, active, state.batch_slot)
     return StepStats(aabb_min=lo, aabb_max=hi, centroid=centroid,
                      last_centroid=centroid, max_radius=max_rad,
                      max_velocity=max_vel, batch_pos_sum=batch_sum,

@@ -178,6 +178,8 @@ def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
             pltpu.VMEM((f, b + 2 * D.ROW_PAD, lanes), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(params_packed, planes)
 
@@ -205,6 +207,8 @@ def _count_pallas(planes, k: int, interpret: bool = False):
             pltpu.VMEM((f, b + 2 * D.ROW_PAD, lanes), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dummy, planes)
 

