@@ -1,0 +1,96 @@
+"""Demo harness + checkpoint/resume tests."""
+
+import numpy as np
+import pytest
+
+from egg_fluid_simulation_tpu import demo as demo_mod
+from egg_fluid_simulation_tpu import checkpoint
+from egg_fluid_simulation_tpu.state import WHITE
+
+
+def test_demo_scripted_session_runs():
+    stats = demo_mod.run_demo(frames=20, out_dir=None, spawn_every=8, swap_at=10)
+    assert stats["n_particles"] > 0
+    assert np.isfinite(stats["mean_update_ms"])
+
+
+def test_demo_spawn_remove_cycle():
+    d = demo_mod.DemoState(capacity=4096)
+    ids = [d.spawn_batch() for _ in range(4)]
+    assert len(d.handler.list_ids()) == 4
+    d.update()
+    d.remove_batch()
+    d.remove_batch()
+    assert len(d.handler.list_ids()) == 2
+    d.update()
+    w, y = d.handler.get_n_particles()
+    assert (w, y) == (40, 30)
+
+
+def test_demo_path_follows():
+    d = demo_mod.DemoState(capacity=4096)
+    d.spawn_batch()
+    x0, y0 = d.target_position()
+    for _ in range(30):
+        d.update(1 / 60)
+    x1, y1 = d.target_position()
+    assert (x0, y0) != (x1, y1)  # target moves along the path at 300 px/s
+
+
+def test_demo_config_swap_stable():
+    d = demo_mod.DemoState(capacity=4096)
+    d.spawn_batch()
+    for _ in range(5):
+        d.update()
+    d.swap_config()
+    assert not d.current_config_solid
+    for _ in range(5):
+        d.update()
+    d.swap_config()
+    assert d.current_config_solid
+    pos = np.asarray(d.handler.state.pos)
+    assert np.isfinite(pos[WHITE][:20]).all()
+
+
+def test_demo_renders_frame():
+    d = demo_mod.DemoState(width=256, height=256,
+                           capacity=4096, canvas_size=128)
+    d.spawn_batch()
+    d.update()
+    frame = d.draw()
+    assert frame.shape == (256, 256, 4)
+    assert np.isfinite(frame).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    d = demo_mod.DemoState(capacity=4096)
+    a = d.spawn_batch()
+    d.spawn_batch()
+    for _ in range(10):
+        d.update()
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(d.handler, path)
+
+    restored = checkpoint.load(path)
+    assert sorted(restored.list_ids()) == sorted(d.handler.list_ids())
+    assert restored.get_n_particles() == d.handler.get_n_particles()
+    np.testing.assert_allclose(np.asarray(restored.state.pos),
+                               np.asarray(d.handler.state.pos))
+    np.testing.assert_allclose(restored.get_position(a), d.handler.get_position(a),
+                               atol=1e-3)
+    # both continue identically for one step
+    restored.update(1 / 60)
+    d.handler.update(1 / 60)
+    np.testing.assert_allclose(np.asarray(restored.state.pos),
+                               np.asarray(d.handler.state.pos), atol=1e-4)
+
+
+def test_checkpoint_preserves_configs(tmp_path):
+    d = demo_mod.DemoState(capacity=4096)
+    d.spawn_batch()
+    d.swap_config()  # fluid config active
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(d.handler, path)
+    restored = checkpoint.load(path)
+    assert restored.get_white_config()["damping"] == pytest.approx(0.05)
+    assert restored.get_white_config()["follow_strength"] == pytest.approx(0.8)

@@ -1,0 +1,171 @@
+"""Render-pass golden tests against the reference GLSL formulas (SURVEY §4c).
+
+Each pass is checked against a direct numpy evaluation of the corresponding
+shader math: the gaussian particle texture
+(simulation_handler_particle_texture.glsl), screen-blend accumulation
+(simulation_handler.lua:2071), the velocity-stretched instanced quad
+(simulation_handler_instanced_draw.glsl), the 8-direction outline dilation
+(simulation_handler_outline.glsl), and the Sobel/Blinn-Phong lighting pass
+(simulation_handler_lighting.glsl).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from egg_fluid_simulation_tpu.ops import render as R
+
+GAUSS = 4.0 * np.pi / 3.0
+
+
+def _splat_one(pos, vel=(0.0, 0.0), radius=4.0, texture_scale=12.0,
+               motion_blur=0.0, alpha=1.0, canvas=256, n=1, positions=None):
+    opts = R.RenderOptions(canvas_size=canvas)
+    if positions is None:
+        positions = np.tile(np.asarray(pos, np.float32), (n, 1))
+    n = len(positions)
+    p = jnp.asarray(positions, jnp.float32)
+    v = jnp.tile(jnp.asarray(vel, jnp.float32), (n, 1))
+    r = jnp.full((n,), radius, jnp.float32)
+    c = jnp.concatenate([jnp.ones((n, 3)), jnp.full((n, 1), alpha)], axis=1)
+    act = jnp.ones((n,), bool)
+    center = jnp.asarray([canvas / 2.0, canvas / 2.0], jnp.float32)
+    out, _ = R.splat_population(p, p, v, r, c, act, center, jnp.float32(1.0),
+                                jnp.float32(texture_scale),
+                                jnp.float32(motion_blur), opts)
+    return np.asarray(out)
+
+
+def test_gaussian_splat_profile():
+    # density(d) = exp(-(4pi/3) * (d / (radius*texture_scale))^2)
+    a = _splat_one((128.0, 128.0))
+    base = 4.0 * 12.0
+    # canvas pixel centers are at +0.5; particle sits at canvas coords (128,128)
+    for d in (0, 5, 10, 20, 40):
+        got = a[128, 128 + d]
+        want = np.exp(-GAUSS * ((d + 0.5) ** 2 + 0.5 ** 2) / base ** 2)
+        assert got == pytest.approx(want, rel=1e-3, abs=1e-4), f"d={d}"
+
+
+def test_splat_clamps_outside_quad():
+    a = _splat_one((128.0, 128.0))
+    base = 4.0 * 12.0  # quad half-extent 48; static cap at 64
+    assert a[128, 128 + int(base) + 2] == 0.0
+
+
+def test_screen_blend_accumulation():
+    # two coincident particles: alpha = 1 - (1-g)^2
+    one = _splat_one((128.0, 128.0))
+    two = _splat_one((128.0, 128.0), n=2)
+    expected = 1.0 - (1.0 - one) ** 2
+    np.testing.assert_allclose(two, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_particle_alpha_scales_contribution():
+    half = _splat_one((128.0, 128.0), alpha=0.5)
+    full = _splat_one((128.0, 128.0), alpha=1.0)
+    np.testing.assert_allclose(half, 0.5 * full, rtol=1e-4, atol=1e-5)
+
+
+def test_motion_blur_stretches_along_velocity():
+    # smear = 1 + |v| * motion_blur stretches the parallel axis only
+    a = _splat_one((128.0, 128.0), vel=(100.0, 0.0), motion_blur=0.005)
+    smear = 1.0 + 100.0 * 0.005
+    base = 4.0 * 12.0
+    d = 20
+    got_par = a[128, 128 + d]
+    want_par = np.exp(-GAUSS * (((d + 0.5) / smear) ** 2 + 0.5 ** 2) / base ** 2)
+    assert got_par == pytest.approx(want_par, rel=1e-2)
+    got_perp = a[128 + d, 128]
+    want_perp = np.exp(-GAUSS * ((d + 0.5) ** 2 + (0.5 / smear) ** 2) / base ** 2)
+    assert got_perp == pytest.approx(want_perp, rel=1e-2)
+    assert got_par > got_perp  # stretched along +x
+
+
+def test_splat_rotation_to_velocity_angle():
+    a = _splat_one((128.0, 128.0), vel=(100.0, 100.0), motion_blur=0.005)
+    # the stretch axis is the (1,1) diagonal
+    assert a[128 + 14, 128 + 14] > a[128 + 14, 128 - 14] - 1e-6
+
+
+def test_outline_pass_formula():
+    opts = R.RenderOptions(canvas_size=128)
+    # synthetic alpha: hard disk of radius 20
+    yy, xx = np.mgrid[0:128, 0:128]
+    alpha = ((xx - 64) ** 2 + (yy - 64) ** 2 <= 20 ** 2).astype(np.float32)
+    out = np.asarray(R.outline_pass(jnp.asarray(alpha), jnp.float32(2.0),
+                                    jnp.float32(0.3), opts))
+    # interior: max_alpha = 1 -> smoothstep(0.15, 0.185, 1) = 1
+    assert out[64, 64] == pytest.approx(1.0)
+    # discard where center alpha == 0 (glsl:11)
+    assert out[64, 64 + 30] == 0.0
+    assert out[2, 2] == 0.0
+
+
+def _lighting_numpy(alpha, color, hs, ss, th, sm, use_lighting=True):
+    """Direct numpy transcription of simulation_handler_lighting.glsl."""
+    def smoothstep(e0, e1, x):
+        t = np.clip((x - e0) / (e1 - e0), 0, 1)
+        return t * t * (3 - 2 * t)
+
+    value = smoothstep(th - sm, th + sm, alpha)
+    center_rgb = value[..., None] * np.asarray(color[:3])
+    center_a = value * color[3]
+
+    z = np.pad(alpha, 1)
+    tl, tm_, tr = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
+    ml, mr = z[1:-1, :-2], z[1:-1, 2:]
+    bl, bm, br = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
+    gx = -tl + tr - 2 * ml + 2 * mr - bl + br
+    gy = -tl - 2 * tm_ - tr + bl + 2 * bm + br
+    inv = 1.0 / np.sqrt(gx ** 2 + gy ** 2 + 1.0)
+    nx, ny, nz = -gx * inv, -gy * inv, inv
+
+    light = np.array([1.0, -1.0, 1.0]) / np.sqrt(3.0)
+    view = np.array([0.0, 0.0, 1.0])
+    half = (light + view) / np.linalg.norm(light + view)
+    spec = hs * np.maximum(nx * half[0] + ny * half[1] + nz * half[2], 0) ** 48
+    if hs <= 0 or not use_lighting:
+        spec = 0.0
+
+    sl = np.array([-0.5, 0.75, 0.0]) / np.linalg.norm([-0.5, 0.75, 0.0])
+    nd = nx * sl[0] + ny * sl[1] + nz * sl[2]
+    shadow = smoothstep(0.0, 1.0, np.clip(nd * ss, 0, 1))
+    if ss <= 0 or not use_lighting:
+        shadow = 0.0
+    rgb = center_rgb - np.asarray(shadow)[..., None] + np.asarray(spec)[..., None]
+    return rgb, center_a
+
+
+@pytest.mark.parametrize("hs,ss", [(1.0, 0.0), (0.0, 1.0), (0.7, 0.4)])
+def test_lighting_pass_matches_glsl_formula(hs, ss):
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:64, 0:64]
+    alpha = np.clip(1.2 - np.hypot(xx - 32, yy - 32) / 20.0, 0, 1).astype(np.float32)
+    color = (0.9, 0.7, 0.2, 1.0)
+    want_rgb, want_a = _lighting_numpy(alpha, color, hs, ss, 0.3, 0.01)
+    got_rgb, got_a = R.lighting_pass(
+        jnp.asarray(alpha), None, jnp.asarray(color), jnp.float32(hs),
+        jnp.float32(ss), jnp.float32(0.3), jnp.float32(0.01),
+        use_lighting=True, use_particle_color=False)
+    np.testing.assert_allclose(np.asarray(got_rgb), want_rgb, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_a), want_a, rtol=1e-4, atol=1e-5)
+
+
+def test_full_draw_composites_white_then_yolk():
+    from egg_fluid_simulation_tpu import SimulationHandler, default_white_config, default_yolk_config
+    h = SimulationHandler(default_white_config(), default_yolk_config(),
+                          capacity=1024, canvas_size=256)
+    h.add(128.0, 128.0, 40.0, 12.0)
+    h.update(1 / 30)
+    frame = np.asarray(h.draw(viewport=(0.0, 0.0, 256, 256)))
+    assert frame.shape == (256, 256, 4)
+    assert np.isfinite(frame).all()
+    # the yolk (orange-ish) dominates the very center, white around it
+    cy = frame[128, 128]
+    assert cy[3] > 0.5
+    edge = frame[128, 128 + 35]
+    assert edge[3] > 0.3
+    # white region is brighter in blue channel than the yolk center
+    assert edge[2] > cy[2]
