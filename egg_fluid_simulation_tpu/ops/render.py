@@ -62,7 +62,7 @@ class RenderOptions:
     tile_h: int = 32              # canvas tile height (sublane-friendly)
     tile_w: int = 128             # canvas tile width (lane-aligned)
     max_splat_px: int = 64        # static half-extent cap of one splat quad
-    tile_capacity: int = 256      # max particles binned per tile (render budget)
+    tile_capacity: int = 128      # max particles binned per tile (render budget)
     max_outline_steps: int = 8    # static cap of outline dilation samples
     use_particle_color: bool = False
 
@@ -79,34 +79,31 @@ def _smoothstep(e0, e1, x):
 # -------------------------------------------------------------- splat pass --
 
 def _bin_particles_to_tiles(p_canvas, active, opts: RenderOptions):
-    """Scatter each particle into every canvas tile its quad can overlap.
+    """Bin each particle ONCE by its center tile; tiles gather neighbors at eval.
 
-    Static window: a splat reaches at most ``max_splat_px`` from its center, so
-    it covers a fixed number of tiles per axis. Returns a
-    ``(n_tiles + 1, tile_capacity)`` index table (-1 empty; row n_tiles is the
-    out-of-canvas sentinel).
+    One sorted entry per particle (multi-tile scatter windows cost ~18x more
+    sort traffic); a splat reaches at most ``max_splat_px``, so at eval time a
+    tile's candidates are the bins within a static (wy, wx) neighborhood —
+    see :func:`_tile_candidates`. Returns a ``(n_tiles + 1, tile_capacity)``
+    index table (-1 empty; row n_tiles holds off-canvas particles, never read).
     """
     s, th, tw, e = opts.canvas_size, opts.tile_h, opts.tile_w, opts.max_splat_px
     nty, ntx = s // th, s // tw
     n_tiles = nty * ntx
-    wy = (2 * e) // th + 2   # tiles a 2e-wide span can touch
-    wx = (2 * e) // tw + 2
 
     n = p_canvas.shape[0]
-    ty0 = jnp.floor((p_canvas[:, 1] - e) / th).astype(jnp.int32)
-    tx0 = jnp.floor((p_canvas[:, 0] - e) / tw).astype(jnp.int32)
+    ty = jnp.floor(p_canvas[:, 1] / th).astype(jnp.int32)
+    tx = jnp.floor(p_canvas[:, 0] / tw).astype(jnp.int32)
+    # particles slightly off-canvas can still splat onto it: clamp into the
+    # edge bins when within reach, drop entirely beyond max_splat_px
+    reach_y = (p_canvas[:, 1] > -e) & (p_canvas[:, 1] < s + e)
+    reach_x = (p_canvas[:, 0] > -e) & (p_canvas[:, 0] < s + e)
+    ty = jnp.clip(ty, 0, nty - 1)
+    tx = jnp.clip(tx, 0, ntx - 1)
+    ok = active & reach_x & reach_y
+    bucket = jnp.where(ok, ty * ntx + tx, n_tiles)
 
-    entries = []
-    for dy in range(wy):
-        for dx in range(wx):
-            ty = ty0 + dy
-            tx = tx0 + dx
-            ok = active & (ty >= 0) & (ty < nty) & (tx >= 0) & (tx < ntx)
-            entries.append(jnp.where(ok, ty * ntx + tx, n_tiles))
-    bucket = jnp.stack(entries, axis=1).reshape(-1)          # (N * wy*wx,)
-    pidx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
-                            (n, wy * wx)).reshape(-1)
-
+    pidx = jnp.arange(n, dtype=jnp.int32)
     bucket_sorted, pidx_sorted = jax.lax.sort_key_val(bucket, pidx)
     from .grid import segmented_rank
     rank = segmented_rank(bucket_sorted)
@@ -116,6 +113,29 @@ def _bin_particles_to_tiles(p_canvas, active, opts: RenderOptions):
     table = jnp.full(((n_tiles + 2) * k,), -1, jnp.int32)
     table = table.at[flat].set(pidx_sorted, mode="drop")
     return table[:(n_tiles + 1) * k].reshape(n_tiles + 1, k)
+
+
+def _tile_candidates(table, opts: RenderOptions):
+    """(n_tiles, wy*wx*K) candidate particle ids per tile from neighbor bins."""
+    s, th, tw, e = opts.canvas_size, opts.tile_h, opts.tile_w, opts.max_splat_px
+    nty, ntx = s // th, s // tw
+    n_tiles = nty * ntx
+    wy = 2 * (-(-e // th)) + 1
+    wx = 2 * (-(-e // tw)) + 1
+
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    ty = tids // ntx
+    tx = tids % ntx
+    neighbors = []
+    for dy in range(-(wy // 2), wy // 2 + 1):
+        for dx in range(-(wx // 2), wx // 2 + 1):
+            ny = ty + dy
+            nx = tx + dx
+            ok = (ny >= 0) & (ny < nty) & (nx >= 0) & (nx < ntx)
+            neighbors.append(jnp.where(ok, ny * ntx + nx, n_tiles))
+    nb = jnp.stack(neighbors, axis=1)                       # (n_tiles, wy*wx)
+    cand = table[nb]                                        # (n_tiles, wy*wx, K)
+    return cand.reshape(n_tiles, -1)
 
 
 def splat_population(pos, last_pos, vel, radius, color, active,
@@ -147,6 +167,8 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     smear = 1.0 + speed * motion_blur                        # instanced_draw.glsl:25
 
     table = _bin_particles_to_tiles(p_canvas, active, opts)  # (T+1, K)
+    cand_all = _tile_candidates(table, opts)                 # (T, W*K)
+    n_cand = cand_all.shape[1]
 
     # per-candidate packed parameters
     a_p = jnp.where(active, color[:, 3], 0.0)
@@ -159,15 +181,18 @@ def splat_population(pos, last_pos, vel, radius, color, active,
 
     use_rgb = opts.use_particle_color
 
-    chunk = min(32, opts.tile_capacity)
-    n_chunks = -(-opts.tile_capacity // chunk)
+    chunk = 32
+    n_chunks = -(-n_cand // chunk)
+    pad = n_chunks * chunk - n_cand
 
     def render_tile(tile_id):
         ty = tile_id // ntx
         tx = tile_id % ntx
         px = px_grid + (tx * tw).astype(jnp.float32)         # (th, tw)
         py = py_grid + (ty * th).astype(jnp.float32)
-        cand = table[tile_id]                                # (K,)
+        cand = cand_all[tile_id]                             # (W*K,)
+        if pad:
+            cand = jnp.concatenate([cand, jnp.full((pad,), -1, jnp.int32)])
         valid = cand >= 0
         i = jnp.maximum(cand, 0)
         # gather all candidate params up front, then sweep in vector chunks
