@@ -137,7 +137,15 @@ class SimulationHandler:
             # ordering); large: dense plane engine (Pallas sweep, no gathers in
             # the pair path). The reference budget is inert above ~360 live
             # particles anyway (0.05 n^2 > 18 n), so dense loses nothing there.
-            options = SolverOptions(engine="dense" if capacity >= 16384 else "gather")
+            # Grid sized so slots ~= 2x capacity (fixed costs scale with G^2*K).
+            if capacity >= 16384:
+                g = 128
+                while g * g * 4 < 2 * capacity and g < 1024:
+                    g *= 2
+                options = SolverOptions(engine="dense", dense_grid_dim=g,
+                                        dense_slots=4)
+            else:
+                options = SolverOptions(engine="gather")
         self._options = options
         self._canvas_size = canvas_size
         self._jacobi_relaxation = float(jacobi_relaxation)

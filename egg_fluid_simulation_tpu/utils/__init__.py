@@ -1,3 +1,3 @@
-from . import log, mathx
+from . import log, mathx, profiling
 
-__all__ = ["log", "mathx"]
+__all__ = ["log", "mathx", "profiling"]

@@ -1,0 +1,99 @@
+"""Profiling and observability utilities.
+
+The reference's only instrument is the demo's 100-frame rolling wall-time
+window (test.lua:178-221); this module generalizes it and adds device-side
+tracing and NaN guarding — the auxiliary subsystems SURVEY.md §5 calls for.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import statistics
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import log
+
+__all__ = ["StepTimer", "trace", "validate_state"]
+
+
+class StepTimer:
+    """Rolling window of phase timings (the demo overlay's instrument, generalized).
+
+    Usage::
+
+        timer = StepTimer(window=100)
+        with timer.phase("step"):
+            handler.update(1 / 60)
+        timer.summary()  # {"step": {"p50_ms": ..., "mean_ms": ..., ...}}
+    """
+
+    def __init__(self, window: int = 100):
+        self.window = window
+        self._samples: Dict[str, List[float]] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = (time.perf_counter() - t0) * 1000
+            bucket = self._samples.setdefault(name, [])
+            bucket.append(dt)
+            if len(bucket) > self.window:
+                bucket.pop(0)
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, xs in self._samples.items():
+            out[name] = {
+                "p50_ms": statistics.median(xs),
+                "mean_ms": statistics.fmean(xs),
+                "max_ms": max(xs),
+                "n": len(xs),
+            }
+        return out
+
+    def frame_usage_pct(self, name: str, frame_s: float = 1 / 60) -> float:
+        """Mean phase time as % of a frame (the reference overlay's metric)."""
+        xs = self._samples.get(name, [0.0])
+        return statistics.fmean(xs) / (frame_s * 1000) * 100
+
+
+@contextlib.contextmanager
+def trace(dir_path: str):
+    """Wrap a block in a ``jax.profiler`` trace (TensorBoard format)."""
+    jax.profiler.start_trace(dir_path)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def validate_state(handler, *, fatal: bool = True) -> bool:
+    """NaN/overflow guard — the analog of the reference's NaN config rejection
+    (simulation_handler.lua:1300-1302) applied to the running simulation.
+
+    Returns True when every active particle is finite; otherwise raises (or
+    warns when ``fatal=False``) naming the bad population.
+    """
+    state = handler.state
+    active = np.asarray(state.active_mask())
+    ok = True
+    for pop, name in ((0, "white"), (1, "yolk")):
+        pos = np.asarray(state.pos[pop])[active[pop]]
+        vel = np.asarray(state.vel[pop])[active[pop]]
+        if not (np.isfinite(pos).all() and np.isfinite(vel).all()):
+            ok = False
+            msg = ("validate_state: population `", name,
+                   "` has non-finite positions or velocities — the solver "
+                   "likely diverged (check damping >= 0.05 and strengths < 1)")
+            if fatal:
+                log.error(*msg)
+            log.warning(*msg)
+    return ok
