@@ -34,7 +34,7 @@ import numpy as np  # noqa: E402
 
 def build_handler(n_target: int, canvas_size: int = 512):
     """A spread-out multi-batch scene totalling ~n_target particles per population."""
-    from egg_fluid_simulation_tpu import (SimulationHandler, SolverOptions,
+    from egg_fluid_simulation_tpu import (SimulationHandler,
                                           default_white_config, default_yolk_config)
 
     per_batch = max(200, min(n_target // 8, 5000))
@@ -44,12 +44,9 @@ def build_handler(n_target: int, canvas_size: int = 512):
     per_batch_y = max(2, per_batch_w // 10)
 
     capacity = 1 << int(np.ceil(np.log2(max(n_target + n_batches, 1024))))
-    engine = "dense" if capacity >= 16384 else "gather"
     h = SimulationHandler(
         default_white_config(), default_yolk_config(),
-        capacity=capacity, max_batches=256, canvas_size=canvas_size,
-        options=SolverOptions(engine=engine, dense_grid_dim=512, dense_slots=4,
-                              budget_mode="off" if engine == "dense" else "ordered"))
+        capacity=capacity, max_batches=256, canvas_size=canvas_size)
 
     side = int(np.ceil(np.sqrt(n_batches)))
     # batch radius so particles fit: area ~= n * (pi r_p^2) with r_p = 4

@@ -142,8 +142,11 @@ class SimulationHandler:
                 g = 128
                 while g * g * 4 < 2 * capacity and g < 1024:
                     g *= 2
+                # ordered-budget emulation costs an extra counting sweep and
+                # can only bind below ~360 live particles — meaningless at
+                # dense-engine scale, so default it off here
                 options = SolverOptions(engine="dense", dense_grid_dim=g,
-                                        dense_slots=4)
+                                        dense_slots=4, budget_mode="off")
             else:
                 options = SolverOptions(engine="gather")
         self._options = options
