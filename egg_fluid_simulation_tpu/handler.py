@@ -137,10 +137,10 @@ class SimulationHandler:
             # ordering); large: dense plane engine (Pallas sweep, no gathers in
             # the pair path). The reference budget is inert above ~360 live
             # particles anyway (0.05 n^2 > 18 n), so dense loses nothing there.
-            # Grid sized so slots ~= 2x capacity (fixed costs scale with G^2*K).
+            # Grid sized so slots ~= capacity (fixed costs scale with G^2*K).
             if capacity >= 16384:
                 g = 128
-                while g * g * 4 < 2 * capacity and g < 1024:
+                while g * g * 4 < capacity and g < 1024:
                     g *= 2
                 # ordered-budget emulation costs an extra counting sweep and
                 # can only bind below ~360 live particles — meaningless at

@@ -146,6 +146,22 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
                         origin=origin, cell_size=cell_size)
 
 
+def refresh_positions(binning: DenseBinning, pos: jnp.ndarray) -> DenseBinning:
+    """Rewrite the X/Y fields from current positions, keeping slot assignment.
+
+    Used by ``dense_rebin="step"``: the sort + permutation build happens once
+    per step; between substeps only positions change materially, so one row
+    gather refreshes the grid (cells go stale by at most a substep's motion).
+    """
+    rows, lanes = binning.planes.shape[1], binning.planes.shape[2]
+    occupied = binning.pidx_grid >= 0
+    xy = pos[jnp.maximum(binning.pidx_grid, 0)]            # (rows*L, 2)
+    xy = jnp.where(occupied[:, None], xy, 0.0)
+    planes = binning.planes.at[FIELD_X].set(xy[:, 0].reshape(rows, lanes))
+    planes = planes.at[FIELD_Y].set(xy[:, 1].reshape(rows, lanes))
+    return binning._replace(planes=planes)
+
+
 def update_cum_field(binning: DenseBinning, cum: jnp.ndarray) -> DenseBinning:
     """Write a fresh ordered-budget prefix into FIELD_CUM (gather by pidx_grid)."""
     rows, lanes = binning.planes.shape[1], binning.planes.shape[2]

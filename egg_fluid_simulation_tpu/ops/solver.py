@@ -66,7 +66,8 @@ class SolverOptions:
     dense_grid_dim: int = 512       # dense engine: G (cells per axis)
     dense_slots: int = 4            # dense engine: K (slots per cell)
     use_pallas: bool = True         # dense engine: Pallas sweep on TPU
-    dense_rebin: str = "substep"    # "substep" (bin once, sweep in-grid) |
+    dense_rebin: str = "substep"    # "step" (one sort/step, fastest) |
+                                    # "substep" (bin per substep) |
                                     # "pass" (rebuild per collision pass, strict)
     n_substeps: int = 2             # reference default, simulation_handler.lua:170
     n_collision_steps: int = 3      # reference default, :171
@@ -76,7 +77,7 @@ class SolverOptions:
         assert self.cohesion_mode in ("spacing", "literal")
         assert self.budget_mode in ("ordered", "off")
         assert self.engine in ("gather", "dense")
-        assert self.dense_rebin in ("substep", "pass")
+        assert self.dense_rebin in ("step", "substep", "pass")
 
 
 def strength_to_compliance(strength: jnp.ndarray, sub_dt: jnp.ndarray) -> jnp.ndarray:
@@ -408,7 +409,8 @@ def _dense_add_cum(binning, max_pairs, k, use_pallas):
 def dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
                           cfg: DeviceConfig, collision_compliance,
                           cohesion_compliance, relaxation,
-                          options: SolverOptions, n_passes: int):
+                          options: SolverOptions, n_passes: int,
+                          binning=None):
     """All collision passes of one substep on the dense grid, binned ONCE.
 
     The reference rebuilds its spatial hash every pass (:1866-1879), but its
@@ -416,18 +418,22 @@ def dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
     substep movement is far below a cell, so the grid is rebuilt per substep
     and positions update *inside* the plane tensor between passes — saving the
     two most expensive TPU ops (sort + permutation scatter) per pass.
-    Use ``dense_rebin="pass"`` for strict per-pass rebinning.
+    ``dense_rebin="step"`` passes a prebuilt ``binning`` (one sort per whole
+    step, positions refreshed by a row gather); ``"pass"`` rebins per pass.
     """
     k = options.dense_slots
     g = options.dense_grid_dim
     lanes = g * k
     cell_size, max_pairs = _dense_setup(pos, active, cfg, options)
 
-    binning = dense_ops.bin_to_planes(
-        pos, inv_mass, radius, batch_slot, active, cell_size,
-        grid_dim=g, slots_per_cell=k)
-    if options.budget_mode == "ordered":
-        binning = _dense_add_cum(binning, max_pairs, k, options.use_pallas)
+    if binning is None:
+        binning = dense_ops.bin_to_planes(
+            pos, inv_mass, radius, batch_slot, active, cell_size,
+            grid_dim=g, slots_per_cell=k)
+        if options.budget_mode == "ordered":
+            binning = _dense_add_cum(binning, max_pairs, k, options.use_pallas)
+    else:
+        binning = dense_ops.refresh_positions(binning, pos)
 
     params = dense_ops.SweepParams(
         collision_compliance=collision_compliance,
@@ -483,7 +489,8 @@ def _aabb(pos, radius, active):
 
 def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
             cfg: DeviceConfig, batch_target, follow_radius,
-            sub_dt, relaxation, options: SolverOptions, max_batches: int):
+            sub_dt, relaxation, options: SolverOptions, max_batches: int,
+            dense_binning=None):
     """One solver substep over a single population (reference :1821-1932)."""
     follow_c = strength_to_compliance(cfg.follow_strength, sub_dt)
     collision_c = strength_to_compliance(cfg.collision_strength, sub_dt)
@@ -493,10 +500,11 @@ def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
     pos = solve_follow(pos, inv_mass, batch_slot, active,
                        batch_target, follow_radius, follow_c)
 
-    if options.engine == "dense" and options.dense_rebin == "substep":
+    if options.engine == "dense" and options.dense_rebin in ("substep", "step"):
         pos = dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
                                     cfg, collision_c, cohesion_c, relaxation,
-                                    options, options.n_collision_steps)
+                                    options, options.n_collision_steps,
+                                    binning=dense_binning)
     else:
         pair_fn = solve_pairs if options.engine == "gather" else solve_pairs_dense
 
@@ -538,13 +546,25 @@ def step(state: ParticleState, cfg2: DeviceConfig, step_delta: jnp.ndarray,
 
     def one_population(pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
                        act, cfg, frad):
+        binning = None
+        if options.engine == "dense" and options.dense_rebin == "step":
+            # one sort + permutation build per STEP; substeps refresh positions
+            cell_size, max_pairs = _dense_setup(pos, act, cfg, options)
+            binning = dense_ops.bin_to_planes(
+                pos, inv_mass, radius, batch_slot, act, cell_size,
+                grid_dim=options.dense_grid_dim,
+                slots_per_cell=options.dense_slots)
+            if options.budget_mode == "ordered":
+                binning = _dense_add_cum(binning, max_pairs,
+                                         options.dense_slots, options.use_pallas)
         # unrolled substep loop (n_substeps is 2 by default; unrolling avoids
         # lax.scan carry traffic and lets XLA fuse across substep boundaries)
         for _ in range(options.n_substeps):
             pos, prev, vel, inv_mass, radius = substep(
                 pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
                 act, cfg, state.batch_target, frad,
-                sub_dt, relaxation, options, max_batches)
+                sub_dt, relaxation, options, max_batches,
+                dense_binning=binning)
 
         # per-step aggregates (the reference computes these per substep in
         # _post_solve :1669-1718; only the final values are observable)
