@@ -403,6 +403,23 @@ class SimulationHandler:
         if stepped:
             self._frames = None  # canvases dirty (:1984)
 
+    def warmup(self, viewport=(0.0, 0.0, 800, 600)) -> None:
+        """Pre-compile the step and render pipelines.
+
+        The analog of the reference's Vulkan shader warm-up draw
+        (simulation_handler.lua:600-615): the first jitted call compiles
+        (seconds); calling this up front moves that cost out of the first
+        frame. State is snapshotted and restored, so warmup has no
+        simulation side effects.
+        """
+        saved = (self._state, self._stats, self._elapsed,
+                 self._interpolation_alpha)
+        self.step_once(1 / 60)
+        self.draw(viewport=viewport)
+        (self._state, self._stats, self._elapsed,
+         self._interpolation_alpha) = saved
+        self._frames = None
+
     def step_once(self, step_delta: float = 1 / 60) -> None:
         """Advance exactly one fixed step (benchmark/test convenience)."""
         self._flush_targets()

@@ -230,3 +230,12 @@ def test_simulation_stays_finite_with_motion():
     assert np.isfinite(pos[WHITE][:60]).all()
     x, y = h.get_position(bid)
     assert 100 < x < 400 and 50 < y < 200  # moved toward the dragged target
+
+
+def test_warmup_has_no_side_effects():
+    h = make_handler(canvas_size=128)
+    h.add(10.0, 10.0, 10.0, 3.0, None, None, 10, 5)
+    pos_before = np.asarray(h.state.pos).copy()
+    h.warmup(viewport=(0.0, 0.0, 128, 128))
+    np.testing.assert_array_equal(np.asarray(h.state.pos), pos_before)
+    assert h.interpolation_alpha == 0.0
