@@ -74,25 +74,29 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
         ty = jnp.zeros_like(sy)
         collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs = params
 
-    for dy in (-1, 0, 1):
-        o_block = [block[f][r0 + dy:r0 + dy + rows] for f in range(D.N_FIELDS)]
-        for d in range(-(2 * k - 1), 2 * k):
+    # roll once per lane offset d (dy-independent), slice rows per dy —
+    # cuts roll op count 3x vs rolling inside the dy loop
+    for d in range(-(2 * k - 1), 2 * k):
+        mask = _lane_mask_2d(rows, lanes, k, d)
+        rolled = [_roll(block[f], d) for f in range(D.N_FIELDS)]
+        for dy in (-1, 0, 1):
             if dy == 0 and d == 0:
                 continue
-            mask = _lane_mask_2d(rows, lanes, k, d)
-            oocc = _roll(o_block[D.FIELD_OCC], d)
-            oidx = _roll(o_block[D.FIELD_IDX], d)
+            o_block = [rolled[f][r0 + dy:r0 + dy + rows]
+                       for f in range(D.N_FIELDS)]
+            oocc = o_block[D.FIELD_OCC]
+            oidx = o_block[D.FIELD_IDX]
             valid = (socc > 0.0) & (oocc > 0.0) & mask
 
             if count_only:
                 acc = acc + jnp.where(valid & (oidx > sidx), 1.0, 0.0)
                 continue
 
-            ox, oy = _roll(o_block[D.FIELD_X], d), _roll(o_block[D.FIELD_Y], d)
-            ow, orr = _roll(o_block[D.FIELD_W], d), _roll(o_block[D.FIELD_R], d)
+            ox, oy = o_block[D.FIELD_X], o_block[D.FIELD_Y]
+            ow, orr = o_block[D.FIELD_W], o_block[D.FIELD_R]
 
             if ordered_budget:
-                ocum = _roll(o_block[D.FIELD_CUM], d)
+                ocum = o_block[D.FIELD_CUM]
                 cum_min = jnp.where(oidx < sidx, ocum, scum)
                 valid = valid & (cum_min < max_pairs)
 
@@ -107,7 +111,7 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
 
             scale = jnp.zeros_like(dist)
             if cohesion:
-                ob = _roll(o_block[D.FIELD_BATCH], d)
+                ob = o_block[D.FIELD_BATCH]
                 coh_d = cohesion_f * (sr + orr)
                 viol = dist - coh_d
                 corr = jnp.where(w_sum + cohesion_c >= EPS,

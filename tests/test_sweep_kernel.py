@@ -1,0 +1,45 @@
+"""Pallas sweep kernel vs its jnp golden model (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from egg_fluid_simulation_tpu.ops import dense as D
+from egg_fluid_simulation_tpu.ops.pallas import sweep_kernel as K
+
+
+@pytest.fixture(scope="module")
+def binning():
+    n, g, k = 512, 32, 4
+    rng = np.random.default_rng(2)
+    pos = jnp.asarray(rng.uniform(0, 150, (n, 2)), jnp.float32)
+    inv_mass = jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32)
+    radius = jnp.full((n,), 4.0)
+    batch = jnp.asarray(rng.integers(0, 3, (n,)), jnp.int32)
+    active = jnp.asarray(rng.random(n) < 0.9)
+    cum = jnp.asarray(np.cumsum(rng.random(n)), jnp.float32)
+    return D.bin_to_planes(pos, inv_mass, radius, batch, active,
+                           jnp.float32(8.0), grid_dim=g, slots_per_cell=k,
+                           cum=cum)
+
+
+PARAMS = D.SweepParams(jnp.float32(10.0), jnp.float32(50.0), jnp.float32(2.0),
+                       jnp.float32(2.0), jnp.float32(1000.0))
+
+
+@pytest.mark.parametrize("cohesion", [False, True])
+@pytest.mark.parametrize("budget", [False, True])
+def test_sweep_kernel_matches_jnp_model(binning, cohesion, budget):
+    ref = D.sweep_planes_jnp(binning.planes, PARAMS, 4, cohesion, budget)
+    got = K._sweep_pallas(binning.planes, PARAMS.pack(), 4, cohesion, budget,
+                          interpret=True)
+    # accumulation order differs (d-major vs dy-major): float tolerance only
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_count_kernel_matches_jnp_model(binning):
+    ref = D.count_planes_jnp(binning.planes, 4)
+    got = K._count_pallas(binning.planes, 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
