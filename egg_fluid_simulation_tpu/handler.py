@@ -171,7 +171,9 @@ class SimulationHandler:
         self._targets_dirty = False
         self._elapsed = 0.0
         self._interpolation_alpha = 0.0
-        self._frames: Optional[jnp.ndarray] = None  # last rendered canvases
+        self._frames: Optional[jnp.ndarray] = None  # cached rendered frame
+        self._frame_key = None
+        self._canvases: Optional[jnp.ndarray] = None  # raw density canvases
         self._cfg2_cache: Optional[DeviceConfig] = None
         self._step_scalar_cache = None
 
@@ -440,10 +442,20 @@ class SimulationHandler:
         """Render all batches to an RGBA image (reference ``draw`` :159-162).
 
         Returns an (H, W, 4) float32 array. ``viewport`` is ``(x, y, w, h)`` in
-        world px; defaults to a window around all particles.
+        world px. Repeated draws without an intervening step/recolor return a
+        cached frame — the analog of the reference's ``_canvases_need_update``
+        dirty flag (:1996-1999).
         """
         from .ops import render as render_ops
-        return render_ops.draw(self, viewport=viewport, background=background)
+        key = (tuple(viewport) if viewport is not None else None,
+               tuple(background) if background is not None else None,
+               self._interpolation_alpha)
+        if self._frames is not None and self._frame_key == key:
+            return self._frames
+        frame = render_ops.draw(self, viewport=viewport, background=background)
+        self._frames = frame
+        self._frame_key = key
+        return frame
 
     # ----------------------------------------------------------- configs --
 

@@ -456,7 +456,7 @@ def draw(handler, viewport=None, background=None):
         jnp.float32(handler._thresholding_smoothness),
         jnp.asarray([x, y], jnp.float32),
         opts, bool(handler._use_lighting), int(w), int(h))
-    handler._frames = canvases
+    handler._canvases = canvases
     if background is not None:
         bg = jnp.asarray(background, jnp.float32)
         a = frame[..., 3:4]

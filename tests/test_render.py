@@ -169,3 +169,57 @@ def test_full_draw_composites_white_then_yolk():
     assert edge[3] > 0.3
     # white region is brighter in blue channel than the yolk center
     assert edge[2] > cy[2]
+
+
+def test_use_particle_color_rgb_accumulation():
+    # per-particle color mode (test.lua:25): rgb accumulates with screen blend
+    opts = R.RenderOptions(canvas_size=128, use_particle_color=True)
+    n = 2
+    p = jnp.asarray([[64.0, 64.0], [64.0, 64.0]], jnp.float32)
+    v = jnp.zeros((n, 2))
+    r = jnp.full((n,), 4.0)
+    c = jnp.asarray([[1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 1.0]], jnp.float32)
+    act = jnp.ones((n,), bool)
+    center = jnp.asarray([64.0, 64.0], jnp.float32)
+    alpha, rgb = R.splat_population(p, p, v, r, c, act, center, jnp.float32(1.0),
+                                    jnp.float32(12.0), jnp.float32(0.0), opts)
+    assert rgb is not None and rgb.shape == (128, 128, 3)
+    g = np.exp(-GAUSS * (0.5 ** 2 + 0.5 ** 2) / 48.0 ** 2)
+    got = np.asarray(rgb)[64, 64]
+    # red from particle 0 only, green from particle 1 only: 1-(1-g*c)
+    assert got[0] == pytest.approx(1 - (1 - g), rel=1e-3)
+    assert got[1] == pytest.approx(1 - (1 - g), rel=1e-3)
+    assert got[2] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_lighting_pass_particle_color_mode():
+    alpha = np.full((16, 16), 0.9, np.float32)
+    rgb = np.zeros((16, 16, 3), np.float32)
+    rgb[..., 0] = 0.8
+    got_rgb, got_a = R.lighting_pass(
+        jnp.asarray(alpha), jnp.asarray(rgb), jnp.asarray([1.0, 0.5, 1.0, 1.0]),
+        jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.3), jnp.float32(0.01),
+        use_lighting=False, use_particle_color=True)
+    # center.rgb = data.rgb * color.rgb (glsl:28)
+    np.testing.assert_allclose(np.asarray(got_rgb)[8, 8], [0.8, 0.0, 0.0],
+                               atol=1e-6)
+    assert float(got_a[8, 8]) == pytest.approx(1.0)  # smoothstep saturated
+
+
+def test_draw_frame_cache_invalidation():
+    from egg_fluid_simulation_tpu import SimulationHandler, default_white_config, default_yolk_config
+    h = SimulationHandler(default_white_config(), default_yolk_config(),
+                          capacity=512, canvas_size=128)
+    bid = h.add(64.0, 64.0, 20.0, 6.0, None, None, 20, 5)
+    h.update(1 / 30)
+    f1 = h.draw(viewport=(0.0, 0.0, 128, 128))
+    f2 = h.draw(viewport=(0.0, 0.0, 128, 128))
+    assert f1 is f2  # cached (reference _canvases_need_update, :1996)
+    f3 = h.draw(viewport=(0.0, 0.0, 256, 256))
+    assert f3 is not f2  # different viewport -> re-render
+    h.update(1 / 30)
+    f4 = h.draw(viewport=(0.0, 0.0, 128, 128))
+    assert f4 is not f1  # stepping invalidates
+    h.set_white_color(bid, 0.1, 0.2, 0.3)
+    f5 = h.draw(viewport=(0.0, 0.0, 128, 128))
+    assert f5 is not f4  # recolor invalidates
