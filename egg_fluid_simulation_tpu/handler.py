@@ -309,6 +309,7 @@ class SimulationHandler:
             "target": (float(x), float(y)),
         }
         self._stats = _compute_stats(self._state)
+        self._frames = None
         return batch_id
 
     # --------------------------------------------------------------- remove --
@@ -355,6 +356,7 @@ class SimulationHandler:
         del self._batches[batch_id]
         self._free_slots.append(slot)
         self._stats = _compute_stats(self._state)
+        self._frames = None
 
     # --------------------------------------------------------------- update --
 
@@ -463,11 +465,13 @@ class SimulationHandler:
         log.assert_types(config, "table")
         config_mod.load_config(self._white_config, config, True)
         self._cfg2_cache = None
+        self._frames = None
 
     def set_yolk_config(self, config: Dict) -> None:
         log.assert_types(config, "table")
         config_mod.load_config(self._yolk_config, config, False)
         self._cfg2_cache = None
+        self._frames = None
 
     def get_white_config(self) -> Dict:
         return config_mod.copy_config(self._white_config)
