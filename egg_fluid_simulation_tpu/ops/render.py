@@ -62,7 +62,7 @@ class RenderOptions:
     tile_h: int = 32              # canvas tile height (sublane-friendly)
     tile_w: int = 128             # canvas tile width (lane-aligned)
     max_splat_px: int = 64        # static half-extent cap of one splat quad
-    tile_capacity: int = 128      # max particles binned per tile (render budget)
+    tile_capacity: int = 64       # max particles binned per tile (render budget)
     max_outline_steps: int = 8    # static cap of outline dilation samples
     use_particle_color: bool = False
 
