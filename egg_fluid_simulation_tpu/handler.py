@@ -132,30 +132,57 @@ class SimulationHandler:
         self._particle_texture_padding = 3
         self._particle_texture_resolution_factor = 4
 
+        self._capacity = int(capacity)
+        self._auto_opts = options is None
         if options is None:
-            # small populations: exact gather engine (oracle-faithful budget
-            # ordering); large: dense plane engine (Pallas sweep, no gathers in
-            # the pair path). The reference budget is inert above ~360 live
-            # particles anyway (0.05 n^2 > 18 n), so dense loses nothing there.
-            # Grid sized so slots ~= capacity (fixed costs scale with G^2*K).
-            if capacity >= 16384:
-                g = 128
-                while g * g * 4 < capacity and g < 1024:
-                    g *= 2
-                # ordered-budget emulation costs an extra counting sweep and
-                # can only bind below ~360 live particles — meaningless at
-                # dense-engine scale, so default it off here
-                options = SolverOptions(engine="dense", dense_grid_dim=g,
-                                        dense_slots=4, budget_mode="off")
-            else:
-                options = SolverOptions(engine="gather")
+            options = self._auto_options([0, 0])
         self._options = options
         self._canvas_size = canvas_size
         self._jacobi_relaxation = float(jacobi_relaxation)
 
-        self._capacity = int(capacity)
         self._max_batches = int(max_batches)
         self._reinitialize()
+
+    def _auto_options(self, counts) -> SolverOptions:
+        """Static solver options sized to the live particle counts.
+
+        Small populations get the exact gather engine (oracle-faithful budget
+        ordering); large capacities get the dense plane engine (Pallas sweep,
+        no gathers in the pair path) — the reference budget is inert above
+        ~360 live particles anyway (0.05 n^2 > 18 n), so dense loses nothing
+        there. Per-population slice caps and grids are bucketed to powers of
+        two: crossing a bucket recompiles once (the XLA analog of the
+        reference's shader recompile), staying inside one never does.
+        """
+        caps, grids = [], []
+        for pop in (WHITE, YOLK):
+            n = max(int(counts[pop]), 1)
+            cap = 1 << max(10, int(math.ceil(math.log2(n))))
+            cap = min(cap, self._capacity)
+            caps.append(cap)
+            g = 32
+            while g * g * 4 < cap and g < 1024:
+                g *= 2
+            grids.append(g)
+        kw = {}
+        if hasattr(self, "_options"):
+            kw = dict(n_substeps=self._options.n_substeps,
+                      n_collision_steps=self._options.n_collision_steps)
+        if self._capacity >= 16384:
+            # ordered-budget emulation costs an extra counting sweep and only
+            # binds below ~360 live particles — off at dense-engine scale
+            return SolverOptions(engine="dense", dense_grid_dim=tuple(grids),
+                                 dense_slots=4, budget_mode="off",
+                                 pop_caps=tuple(caps), **kw)
+        table = max(2048, min(16384, 1 << int(math.ceil(math.log2(2 * max(caps))))))
+        return SolverOptions(engine="gather", table_size=table,
+                             pop_caps=tuple(caps), **kw)
+
+    def _refresh_auto_options(self) -> None:
+        if self._auto_opts:
+            new = self._auto_options(self._counts)
+            if new != self._options:
+                self._options = new
 
     # ------------------------------------------------------------ lifecycle --
 
@@ -310,6 +337,7 @@ class SimulationHandler:
         }
         self._stats = _compute_stats(self._state)
         self._frames = None
+        self._refresh_auto_options()
         return batch_id
 
     # --------------------------------------------------------------- remove --
@@ -357,6 +385,7 @@ class SimulationHandler:
         self._free_slots.append(slot)
         self._stats = _compute_stats(self._state)
         self._frames = None
+        self._refresh_auto_options()
 
     # --------------------------------------------------------------- update --
 
@@ -430,6 +459,23 @@ class SimulationHandler:
         dt, relax = self._step_scalars(step_delta)
         self._state, self._stats = solver_ops.step(
             self._state, self._device_cfg2(), dt, relax, self._options)
+        self._frames = None
+
+    def run_steps(self, n_steps: int, step_delta: float = 1 / 60) -> None:
+        """Advance ``n_steps`` fixed steps in ONE device dispatch.
+
+        Headless fast-forward: the steps are dependence-chained on device with
+        no host round-trips between them (``solver.multi_step``), so this is
+        both the fastest way to simulate offline and the honest way to measure
+        per-step device latency on tunneled runtimes.
+        """
+        if n_steps <= 0:
+            return
+        self._flush_targets()
+        dt, relax = self._step_scalars(step_delta)
+        self._state, self._stats = solver_ops.multi_step(
+            self._state, self._device_cfg2(), dt, relax, self._options,
+            int(n_steps))
         self._frames = None
 
     def _flush_targets(self) -> None:

@@ -5,12 +5,25 @@ is exact but bandwidth-crippled at scale: TPU gathers run element-at-a-time,
 so the ``(N, 9K)`` candidate fetch caps out around ~8 GB/s. This engine
 removes gathers from the hot path entirely.
 
-**Layout.** Particles are binned into field *planes* of shape ``(F, G+2, L)``
-with ``L = G * K`` lanes: grid row = y cell (plus one padding row top and
-bottom for the vertical halo), lane = ``x_cell * K + slot``. Cell size is the
-reference's spatial-hash cell ``max(1, max_radius * max(collision_overlap_factor,
+**Layout.** Particles are binned into field *planes* of shape ``(F, G+2R, L)``
+with ``L = G * K`` lanes: grid row = y cell (plus ``R = ROW_PAD`` halo rows top
+and bottom), lane = ``x_cell * K + slot``. Cell size is the reference's
+spatial-hash cell ``max(1, max_radius * max(collision_overlap_factor,
 cohesion_interaction_distance_factor))`` (simulation_handler.lua:1756-1760).
 ``L`` is lane-aligned and large, so every op tiles perfectly onto the VPU.
+
+**Torus.** Cells are ``floor(pos / cell) mod G`` — the grid is periodic in
+both axes, the dense analog of the reference's *hash table* (:1474-1483):
+unbounded world coordinates map into a fixed structure, and distant particles
+that alias into the same cell are rejected by the pair distance tests exactly
+like reference hash-bucket collisions. Unlike an AABB-anchored grid this
+never coarsens cells when the scene spreads out, and ``floor(pos / cell)``
+matches the reference's absolute cell lattice (:1494-1495) bit-for-bit, so
+dense and gather engines (and the oracle) see identical cell partitions.
+Adjacency survives the wrap: truly neighboring cells are neighbors mod G, so
+the 3x3 pair scan is exact whenever the pair is within interaction range.
+Lane rolls wrap in x by construction; the halo rows carry copies of the
+opposite edge rows for y (:func:`fill_halo`).
 
 **Sweep.** The reference's 3x3-cell pair scan (:1548-1666) becomes, per
 vertical offset dy in {-1,0,1}, a set of *lane rolls*: rolling the neighbor
@@ -23,20 +36,17 @@ gathers, no K x K blow-up. The sweep runs as a Pallas kernel
 (ops/pallas/sweep_kernel.py) with the jnp implementation here as the
 CPU/interpret fallback and golden model.
 
-**Budget.** Particles beyond ``K`` per cell or outside the grid are dropped
-for the pass — the static analog of the reference's collision budget
-(:1749-1753). The ordered ``0.05 n^2`` examined-pair cutoff (:1656-1658) is
-reproduced with a counting sweep + prefix ride-along field, as in the gather
-engine.
-
-Out-of-range particles clamp into the 2-cell empty margin ring, degrading
-(extra same-cell candidates) but never changing shapes — mirroring the
-reference's canvas clamp philosophy (:1953-1954).
+**Budget.** Particles beyond ``K`` per cell are dropped from *collision* for
+the step — the static analog of the reference's collision budget
+(:1749-1753); the solver still integrates them (pre-solve + follow), exactly
+like reference particles past the 0.05 n^2 cutoff (:1656-1658). The ordered
+``0.05 n^2`` examined-pair cutoff is reproduced with a counting sweep +
+prefix ride-along field, as in the gather engine.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,11 +55,11 @@ from ..utils.mathx import EPS
 from .grid import segmented_rank
 
 __all__ = ["DenseBinning", "SweepParams", "bin_to_planes", "sweep_planes_jnp",
-           "count_planes_jnp", "lane_mask", "FIELD_X", "FIELD_Y", "FIELD_W",
-           "FIELD_R", "FIELD_BATCH", "FIELD_CUM", "FIELD_IDX", "FIELD_OCC",
-           "N_FIELDS", "MARGIN"]
+           "count_planes_jnp", "lane_mask", "fill_halo", "refresh_halo_xy",
+           "FIELD_X", "FIELD_Y", "FIELD_W", "FIELD_R", "FIELD_BATCH",
+           "FIELD_CUM", "FIELD_IDX", "FIELD_OCC", "N_FIELDS", "ROW_PAD"]
 
-# field layout of the (F, G+2, L) plane tensor
+# field layout of the (F, G+2R, L) pair-plane tensor (read by the sweep kernel)
 FIELD_X = 0       # position x (px)
 FIELD_Y = 1       # position y
 FIELD_W = 2       # inverse mass
@@ -60,18 +70,16 @@ FIELD_IDX = 6     # particle index as float (pair ordering / self exclusion)
 FIELD_OCC = 7     # 1.0 = occupied slot
 N_FIELDS = 8
 
-MARGIN = 2        # empty cells on every side; >= ceil((2K-1)/K) so lane rolls
-                  # never wrap occupied data into occupied lanes
-ROW_PAD = 8       # padding rows above/below the grid; 8-row alignment lets the
+ROW_PAD = 8       # halo rows above/below the grid; 8-row alignment lets the
                   # Pallas kernel DMA (8,128)-tiled row blocks without masking
 
 
 class DenseBinning(NamedTuple):
-    planes: jnp.ndarray     # (F, G+2*ROW_PAD, L) f32; first/last ROW_PAD rows pad
+    planes: jnp.ndarray     # (8, G+2*ROW_PAD, L) f32 pair fields (sweep input)
+    aux: Optional[jnp.ndarray]  # (A, G+2*ROW_PAD, L) f32 ride-along fields
     slot: jnp.ndarray       # (N,) i32 unpadded flat slot (row*L + cx*K + rank),
-                            # G*L = dropped
+                            # G*L = dropped from collision (rank >= K)
     pidx_grid: jnp.ndarray  # (rows*L,) i32 particle index per padded slot, -1 empty
-    origin: jnp.ndarray     # (2,) f32 world position of grid corner
     cell_size: jnp.ndarray  # scalar f32
 
 
@@ -89,23 +97,52 @@ class SweepParams(NamedTuple):
         return jnp.stack(vals)
 
 
+def fill_halo(t: jnp.ndarray) -> jnp.ndarray:
+    """Copy the opposite grid edges into the halo rows (torus wrap in y).
+
+    ``t`` is (F, ROW_PAD + G + ROW_PAD, L); real row r lives at ROW_PAD + r.
+    Top halo := last ROW_PAD real rows, bottom halo := first ROW_PAD real rows.
+    """
+    g = t.shape[1] - 2 * ROW_PAD
+    t = t.at[:, :ROW_PAD].set(t[:, g:g + ROW_PAD])
+    return t.at[:, ROW_PAD + g:].set(t[:, ROW_PAD:2 * ROW_PAD])
+
+
+def refresh_halo_xy(planes: jnp.ndarray) -> jnp.ndarray:
+    """Re-copy only the X/Y halo rows after an in-plane position update."""
+    g = planes.shape[1] - 2 * ROW_PAD
+    planes = planes.at[:2, :ROW_PAD].set(planes[:2, g:g + ROW_PAD])
+    return planes.at[:2, ROW_PAD + g:].set(planes[:2, ROW_PAD:2 * ROW_PAD])
+
+
+def torus_cells(pos: jnp.ndarray, cell_size, grid_dim: int) -> jnp.ndarray:
+    """(N, 2) i32 torus cell coords ``floor(pos / cell) mod G``.
+
+    ``floor(pos / cell)`` is the reference's absolute cell lattice
+    (simulation_handler.lua:1494-1495); the mod-G wrap is this engine's hash.
+    The pre-clamp bounds the float before the int cast (NaN/overflow safety —
+    the analog of the reference's NaN config guards)."""
+    c = jnp.floor(pos / cell_size)
+    c = jnp.clip(jnp.where(jnp.isfinite(c), c, 0.0), -1e9, 1e9)
+    return jnp.mod(c.astype(jnp.int32), grid_dim)
+
+
 def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
                   *, grid_dim: int, slots_per_cell: int,
-                  cum=None) -> DenseBinning:
-    """Sort-bin particles into dense field planes (one sort, one scatter)."""
+                  cum=None, aux_cols=None) -> DenseBinning:
+    """Sort-bin particles into dense field planes (one sort, one scatter).
+
+    ``aux_cols`` is an optional (N, A) matrix of extra per-particle fields to
+    ride along in a separate ``aux`` tensor (same layout, not read by the
+    sweep kernel — used by the plane-resident step for velocity / previous
+    position / follow-target fields).
+    """
     n = pos.shape[0]
     g, k = grid_dim, slots_per_cell
+    assert g >= 2 * ROW_PAD, "grid_dim must be at least 2*ROW_PAD"
     lanes = g * k
 
-    big = jnp.float32(3.4e38)
-    aabb_min = jnp.min(jnp.where(active[:, None], pos, big), axis=0)
-    # snap to the world cell lattice: the reference hashes floor(pos / cell)
-    # (:1494-1495), so pair sets depend on absolute cell alignment — snapping
-    # makes dense and gather engines (and the oracle) see identical cells
-    origin = (jnp.floor(aabb_min / cell_size) - MARGIN) * cell_size
-
-    cxy = jnp.clip(jnp.floor((pos - origin) / cell_size).astype(jnp.int32),
-                   MARGIN, g - 1 - MARGIN)
+    cxy = torus_cells(pos, cell_size, g)
     cell_id = cxy[:, 1] * g + cxy[:, 0]
     cell_id = jnp.where(active, cell_id, g * g)            # sentinel
 
@@ -127,7 +164,9 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
         batch_slot.astype(jnp.float32), cum,
         idx.astype(jnp.float32),
         jnp.where(active, 1.0, 0.0),
-    ], axis=1)                                             # (N, F)
+    ], axis=1)                                             # (N, 8)
+    if aux_cols is not None:
+        pack = jnp.concatenate([pack, aux_cols], axis=1)   # (N, 8 + A)
 
     # Build planes by inverse-index scatter + ROW GATHER: XLA row scatters run
     # ~45ns/row on TPU while row gathers run ~4ns/row, so we scatter only the
@@ -141,25 +180,12 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
     occupied = pidx_grid >= 0
     rows_data = pack[jnp.maximum(pidx_grid, 0)]            # (rows*L, F) row gather
     rows_data = jnp.where(occupied[:, None], rows_data, 0.0)
-    planes = rows_data.T.reshape(N_FIELDS, rows, lanes)
-    return DenseBinning(planes=planes, slot=slot, pidx_grid=pidx_grid,
-                        origin=origin, cell_size=cell_size)
-
-
-def refresh_positions(binning: DenseBinning, pos: jnp.ndarray) -> DenseBinning:
-    """Rewrite the X/Y fields from current positions, keeping slot assignment.
-
-    Used by ``dense_rebin="step"``: the sort + permutation build happens once
-    per step; between substeps only positions change materially, so one row
-    gather refreshes the grid (cells go stale by at most a substep's motion).
-    """
-    rows, lanes = binning.planes.shape[1], binning.planes.shape[2]
-    occupied = binning.pidx_grid >= 0
-    xy = pos[jnp.maximum(binning.pidx_grid, 0)]            # (rows*L, 2)
-    xy = jnp.where(occupied[:, None], xy, 0.0)
-    planes = binning.planes.at[FIELD_X].set(xy[:, 0].reshape(rows, lanes))
-    planes = planes.at[FIELD_Y].set(xy[:, 1].reshape(rows, lanes))
-    return binning._replace(planes=planes)
+    all_planes = rows_data.T.reshape(pack.shape[1], rows, lanes)
+    planes = fill_halo(all_planes[:N_FIELDS])
+    aux = (fill_halo(all_planes[N_FIELDS:])
+           if aux_cols is not None else None)
+    return DenseBinning(planes=planes, aux=aux, slot=slot, pidx_grid=pidx_grid,
+                        cell_size=cell_size)
 
 
 def update_cum_field(binning: DenseBinning, cum: jnp.ndarray) -> DenseBinning:
@@ -169,14 +195,16 @@ def update_cum_field(binning: DenseBinning, cum: jnp.ndarray) -> DenseBinning:
     vals = cum[jnp.maximum(binning.pidx_grid, 0)]
     vals = jnp.where(occupied, vals, 0.0)
     planes = binning.planes.at[FIELD_CUM].set(vals.reshape(rows, lanes))
-    return binning._replace(planes=planes)
+    return binning._replace(planes=fill_halo(planes))
 
 
 def lane_mask(lanes: int, k: int, d: int) -> jnp.ndarray:
     """(lanes,) bool — pairs (l, l-d) whose cells are within +-1 column.
 
     cell(l) - cell(l-d) = -floor((s - d) / k) for s = l mod k; the mask keeps
-    |cell diff| <= 1, exactly the reference's 3x3 scan (:1568-1569).
+    |cell diff| <= 1, exactly the reference's 3x3 scan (:1568-1569). The
+    pattern is k-periodic, so it is identical at the lane wrap — where rolled
+    pairs straddle columns 0 and G-1, which are adjacent on the torus.
     """
     s = jnp.arange(lanes) % k
     cell_diff = -jnp.floor_divide(s - d, k)

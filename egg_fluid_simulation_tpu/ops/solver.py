@@ -8,7 +8,7 @@ TPU-native reimplementation of the reference's per-substep pipeline
   -> post_solve (:1669-1718)
 
 with the strength->compliance conversion ``alpha = (1 - s) / dt^2``
-(:1337-1341) and the substep loop (:1821-1932) expressed as ``lax.scan``.
+(:1337-1341) and the substep loop (:1821-1932) unrolled under ``jit``.
 
 Design deltas from the reference (all deliberate, see SURVEY.md §5/§7):
 
@@ -24,20 +24,32 @@ Design deltas from the reference (all deliberate, see SURVEY.md §5/§7):
   candidate relation is symmetric, so processing (a,b) from both sides is
   exactly one full pair application.
 - **Collision budget** becomes the grid's static ``slots_per_cell`` cap
-  (ops/grid.py) instead of the global ``0.05 n^2`` counter (:1749-1753).
+  (ops/grid.py, ops/dense.py) instead of the global ``0.05 n^2`` counter
+  (:1749-1753); budget-dropped particles still integrate (pre-solve +
+  follow), exactly like reference particles past the cutoff (:1656-1658).
 - **Cohesion modes.** The literal reference branch (:1608-1617) is inert for
   any non-coincident pair (SURVEY.md §5.1): same-batch pairs get
   ``interaction_distance = 0``. ``cohesion_mode="literal"`` reproduces that
   (i.e. no cohesion force); ``"spacing"`` implements the documented intent
   (README.md of the reference: cohesion acts between same-batch particles
   within ``factor * (r_a + r_b)``), driving such pairs toward that distance.
+
+**The dense engine runs plane-resident** (``dense_rebin="step"``, the
+default): each population is sort-binned into the torus cell planes ONCE per
+step — velocity, previous-position, and follow-target fields ride along —
+and the whole substep pipeline (damped integration, follow constraint,
+collision sweeps, velocity update) executes in grid layout as elementwise VPU
+work plus the fused Pallas sweep, with a single gather extracting particle
+arrays at the end of the step. This removes every intermediate sort / scatter
+/ gather: the reference's own spatial hash is stale across substeps anyway
+(SURVEY.md §5.2), and intra-substep motion is far below a cell.
 """
 
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -48,29 +60,52 @@ from ..utils.mathx import EPS, jnp_mix
 from . import dense as dense_ops
 from . import grid as grid_ops
 
-__all__ = ["SolverOptions", "step", "substep", "pre_solve", "solve_follow",
-           "solve_pairs", "post_solve", "strength_to_compliance"]
+__all__ = ["SolverOptions", "step", "multi_step", "substep", "pre_solve",
+           "solve_follow", "solve_pairs", "post_solve",
+           "strength_to_compliance", "take_batch_rows", "batch_segment_sums"]
 
 _BIG = jnp.float32(3.4e38)
+
+# aux plane field layout (ride-along fields of the plane-resident dense step)
+AUX_PX = 0   # previous x (start of current substep)
+AUX_PY = 1
+AUX_VX = 2   # velocity
+AUX_VY = 3
+AUX_TX = 4   # follow target x (static within a step)
+AUX_TY = 5
+AUX_TD = 6   # follow dead-zone distance (2 * sqrt(batch_radius))
+N_AUX = 7
+
+
+def _per_pop(v: Union[int, Tuple[int, int]]) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else (int(v[0]), int(v[1]))
 
 
 @dataclass(frozen=True)
 class SolverOptions:
-    """Static solver configuration (hashable; changing any field recompiles)."""
+    """Static solver configuration (hashable; changing any field recompiles).
+
+    ``dense_grid_dim`` / ``dense_slots`` / ``pop_caps`` may be a single int
+    (both populations) or a (white, yolk) tuple — the yolk population is
+    typically ~10x smaller (reference add() area math, :52-58), so giving it
+    its own grid and particle-slice capacity removes ~45%% of step cost.
+    """
     table_size: int = 1 << 14       # gather engine: grid buckets, power of two
     slots_per_cell: int = 16        # gather engine: K, per-cell capacity cap
     cohesion_mode: str = "spacing"  # "spacing" (documented intent) | "literal"
     budget_mode: str = "ordered"    # "ordered" (reference 0.05*n^2 cutoff) | "off"
     pair_chunk: int = 1 << 15       # gather engine: sweep chunk (memory cap)
     engine: str = "gather"          # "gather" (exact, small N) | "dense" (big N)
-    dense_grid_dim: int = 512       # dense engine: G (cells per axis)
-    dense_slots: int = 4            # dense engine: K (slots per cell)
+    dense_grid_dim: Union[int, Tuple[int, int]] = 512  # dense: G per population
+    dense_slots: Union[int, Tuple[int, int]] = 4       # dense: K per population
     use_pallas: bool = True         # dense engine: Pallas sweep on TPU
-    dense_rebin: str = "substep"    # "step" (one sort/step, fastest) |
-                                    # "substep" (bin per substep) |
+    dense_rebin: str = "step"       # "step" (one sort/step, plane-resident) |
+                                    # "substep" (rebin per substep) |
                                     # "pass" (rebuild per collision pass, strict)
     n_substeps: int = 2             # reference default, simulation_handler.lua:170
     n_collision_steps: int = 3      # reference default, :171
+    pop_caps: Optional[Union[int, Tuple[int, int]]] = None  # static per-pop
+                                    # particle-slice size; None = full capacity
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
@@ -78,6 +113,10 @@ class SolverOptions:
         assert self.budget_mode in ("ordered", "off")
         assert self.engine in ("gather", "dense")
         assert self.dense_rebin in ("step", "substep", "pass")
+        object.__setattr__(self, "dense_grid_dim", _per_pop(self.dense_grid_dim))
+        object.__setattr__(self, "dense_slots", _per_pop(self.dense_slots))
+        if self.pop_caps is not None:
+            object.__setattr__(self, "pop_caps", _per_pop(self.pop_caps))
 
 
 def strength_to_compliance(strength: jnp.ndarray, sub_dt: jnp.ndarray) -> jnp.ndarray:
@@ -176,6 +215,23 @@ def batch_segment_sums(pos, active, batch_slot, max_batches: int,
     return out[:, :2], out[:, 2]
 
 
+def _follow_delta(x, y, inv_mass, apply_mask, tx, ty, td, compliance):
+    """XPBD follow-constraint correction, shape-generic (reference :1435-1471).
+
+    Returns (dx, dy) to add to positions. Works on (N,) particle vectors and
+    (rows, lanes) plane tensors alike; ``td`` is the ``2*sqrt(batch_radius)``
+    dead-zone distance (:1789-1792)."""
+    dx = tx - x
+    dy = ty - y
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    inv_dist = jnp.where(dist > EPS, 1.0 / jnp.maximum(dist, EPS), 0.0)
+    violation = dist - td
+    delta_lambda = violation / (inv_mass + compliance)
+    apply = apply_mask & (inv_mass > EPS) & (dist > td)
+    scale = jnp.where(apply, delta_lambda * inv_mass * inv_dist, 0.0)
+    return dx * scale, dy * scale
+
+
 def solve_follow(pos, inv_mass, batch_slot, active,
                  batch_target, follow_radius, compliance):
     """Pull particles toward their batch target (reference :1435-1471).
@@ -186,24 +242,15 @@ def solve_follow(pos, inv_mass, batch_slot, active,
     """
     table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
     rows = take_batch_rows(table, batch_slot)
-    target = rows[:, :2]                                   # (N, 2)
-    target_distance = 2.0 * rows[:, 2]                     # (N,)
-
-    delta = target - pos
-    dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
-    direction = jnp.where((dist > EPS)[:, None], delta / jnp.maximum(dist, EPS)[:, None], 0.0)
-
-    violation = dist - target_distance
-    delta_lambda = violation / (inv_mass + compliance)
-    apply = active & (inv_mass > EPS) & (dist > target_distance)
-    correction = direction * (delta_lambda * inv_mass)[:, None]
-    return pos + jnp.where(apply[:, None], correction, 0.0)
+    dx, dy = _follow_delta(pos[:, 0], pos[:, 1], inv_mass, active,
+                           rows[:, 0], rows[:, 1], 2.0 * rows[:, 2], compliance)
+    return pos + jnp.stack([dx, dy], axis=1)
 
 
 def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
                 collision_compliance, cohesion_compliance,
                 relaxation, options: SolverOptions):
-    """One grid rebuild + Jacobi pair projection pass.
+    """One grid rebuild + Jacobi pair projection pass (gather engine).
 
     Vectorized form of ``_rebuild_spatial_hash`` + ``_solve_collision``
     (reference :1486-1511, :1548-1666) with ``_enforce_distance``'s
@@ -223,7 +270,6 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
 
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
     valid = (cand >= 0) & (cand != self_idx) & active[:, None]
-    safe = jnp.maximum(cand, 0)
 
     if options.budget_mode == "ordered":
         # Reference collision budget (:1749-1753, :1656-1658): each pass
@@ -335,38 +381,61 @@ def solve_pairs(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
     return pos + jnp.where(active[:, None], relaxation * total, 0.0)
 
 
-def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConfig,
-                      collision_compliance, cohesion_compliance,
-                      relaxation, options: SolverOptions):
-    """Dense-engine grid rebuild + pair sweep pass (see ops/dense.py).
+# ------------------------------------------------- dense engine (per-pass) --
 
-    Same constraint math as :func:`solve_pairs`; the neighbor structure is the
-    dense plane tensor and the sweep is lane rolls (Pallas on TPU, jnp
-    elsewhere) instead of candidate gathers.
-    """
-    g, k = options.dense_grid_dim, options.dense_slots
-    lanes = g * k
-    cell_size, max_pairs = _dense_setup(pos, active, cfg, options)
-
-    binning = dense_ops.bin_to_planes(
-        pos, inv_mass, radius, batch_slot, active, cell_size,
-        grid_dim=g, slots_per_cell=k)
+def _dense_params(cfg: DeviceConfig, active, collision_compliance,
+                  cohesion_compliance, options: SolverOptions):
+    """Cell size + sweep params; the torus grid never coarsens (ops/dense.py)."""
+    max_factor = jnp.maximum(cfg.collision_overlap_factor,
+                             cfg.cohesion_interaction_distance_factor)
+    cell_size = jnp.maximum(1.0, cfg.max_radius * max_factor)  # :1756-1760
     if options.budget_mode == "ordered":
-        binning = _dense_add_cum(binning, max_pairs, k, options.use_pallas)
-
+        n_live = jnp.sum(active).astype(jnp.float32)
+        max_pairs = jnp.float32(0.05) * n_live * n_live
+    else:
+        max_pairs = _BIG
     params = dense_ops.SweepParams(
         collision_compliance=collision_compliance,
         cohesion_compliance=cohesion_compliance,
         collision_overlap_factor=cfg.collision_overlap_factor,
         cohesion_factor=cfg.cohesion_interaction_distance_factor,
         max_pairs=max_pairs)
-    cohesion = options.cohesion_mode == "spacing"
-    ordered = options.budget_mode == "ordered"
-    from .pallas import sweep_kernel
+    return cell_size, params
 
-    corr = sweep_kernel.sweep_planes(binning.planes, params, k,
-                                     cohesion=cohesion, ordered_budget=ordered,
-                                     use_pallas=options.use_pallas)  # (2, G, L)
+
+def _dense_add_cum(binning, k, use_pallas):
+    """Ordered-budget prefix (reference :1656-1658) in grid layout."""
+    from .pallas import sweep_kernel
+    g_lanes = binning.planes.shape[2] * (binning.planes.shape[1]
+                                         - 2 * dense_ops.ROW_PAD)
+    counts = sweep_kernel.count_planes(binning.planes, k, use_pallas=use_pallas)
+    safe_slot = jnp.minimum(binning.slot, g_lanes - 1)
+    c_p = jnp.where(binning.slot < g_lanes, counts.reshape(-1)[safe_slot], 0.0)
+    cum = jnp.cumsum(c_p) - c_p
+    return dense_ops.update_cum_field(binning, cum)
+
+
+def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active,
+                      cfg: DeviceConfig, collision_compliance,
+                      cohesion_compliance, relaxation, options: SolverOptions,
+                      g: int, k: int):
+    """Dense-engine grid rebuild + pair sweep, one pass (``dense_rebin="pass"``,
+    the strict per-pass rebuild matching the reference's :1866-1879)."""
+    lanes = g * k
+    cell_size, params = _dense_params(cfg, active, collision_compliance,
+                                      cohesion_compliance, options)
+    binning = dense_ops.bin_to_planes(
+        pos, inv_mass, radius, batch_slot, active, cell_size,
+        grid_dim=g, slots_per_cell=k)
+    if options.budget_mode == "ordered":
+        binning = _dense_add_cum(binning, k, options.use_pallas)
+
+    from .pallas import sweep_kernel
+    corr = sweep_kernel.sweep_planes(
+        binning.planes, params, k,
+        cohesion=options.cohesion_mode == "spacing",
+        ordered_budget=options.budget_mode == "ordered",
+        use_pallas=options.use_pallas)                     # (2, G, L)
     corr_flat = corr.reshape(2, -1)
     safe_slot = jnp.minimum(binning.slot, lanes * g - 1)
     dx = jnp.where(binning.slot < lanes * g, corr_flat[0][safe_slot], 0.0)
@@ -375,94 +444,134 @@ def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active, cfg: DeviceConf
     return pos + jnp.where(active[:, None], relaxation * delta, 0.0)
 
 
-def _dense_setup(pos, active, cfg: DeviceConfig, options: SolverOptions):
-    """Cell size (auto-coarsening) + ordered-budget cutoff for the dense engine."""
-    max_factor = jnp.maximum(cfg.collision_overlap_factor,
-                             cfg.cohesion_interaction_distance_factor)
-    ref_cell = jnp.maximum(1.0, cfg.max_radius * max_factor)  # :1756-1760
-    g = options.dense_grid_dim
-    big = jnp.float32(3.4e38)
-    lo = jnp.min(jnp.where(active[:, None], pos, big), axis=0)
-    hi = jnp.max(jnp.where(active[:, None], pos, -big), axis=0)
-    extent = jnp.maximum(jnp.max(hi - lo), 0.0)
-    cell_size = jnp.maximum(ref_cell, extent / (g - 2 * dense_ops.MARGIN - 1))
+# ------------------------------------------ dense engine (plane-resident) --
 
-    if options.budget_mode == "ordered":
-        n_live = jnp.sum(active).astype(jnp.float32)
-        max_pairs = jnp.float32(0.05) * n_live * n_live
-    else:
-        max_pairs = jnp.float32(3.4e38)
-    return cell_size, max_pairs
+def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
+                    tx, ty, td, damp, follow_c, cell_size, params,
+                    sub_dt, relaxation, options: SolverOptions,
+                    g: int, k: int, n_sub: int):
+    """Run ``n_sub`` substeps entirely in plane layout after ONE binning.
 
-
-def _dense_add_cum(binning, max_pairs, k, use_pallas):
-    """Ordered-budget prefix (reference :1656-1658) in grid layout."""
-    from .pallas import sweep_kernel
-    g_lanes = binning.planes.shape[2] * (binning.planes.shape[1] - 2 * dense_ops.ROW_PAD)
-    counts = sweep_kernel.count_planes(binning.planes, k, use_pallas=use_pallas)
-    safe_slot = jnp.minimum(binning.slot, g_lanes - 1)
-    c_p = jnp.where(binning.slot < g_lanes, counts.reshape(-1)[safe_slot], 0.0)
-    cum = jnp.cumsum(c_p) - c_p
-    return dense_ops.update_cum_field(binning, cum)
-
-
-def dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
-                          cfg: DeviceConfig, collision_compliance,
-                          cohesion_compliance, relaxation,
-                          options: SolverOptions, n_passes: int,
-                          binning=None):
-    """All collision passes of one substep on the dense grid, binned ONCE.
-
-    The reference rebuilds its spatial hash every pass (:1866-1879), but its
-    own hash goes stale across substeps anyway (SURVEY.md §5.2) and intra-
-    substep movement is far below a cell, so the grid is rebuilt per substep
-    and positions update *inside* the plane tensor between passes — saving the
-    two most expensive TPU ops (sort + permutation scatter) per pass.
-    ``dense_rebin="step"`` passes a prebuilt ``binning`` (one sort per whole
-    step, positions refreshed by a row gather); ``"pass"`` rebins per pass.
+    Returns (pos, prev, vel) for collision-participating particles plus the
+    drop mask for the fallback path. Empty slots hold all-zero fields, and
+    every update below maps zeros to zeros, so no occupancy masking is needed
+    outside the sweep kernel (which tests FIELD_OCC). Halo rows carry
+    consistent copies of their source rows: elementwise updates preserve that
+    invariant automatically; only the sweep correction (computed for real
+    rows) requires a halo refresh.
     """
-    k = options.dense_slots
-    g = options.dense_grid_dim
-    lanes = g * k
-    cell_size, max_pairs = _dense_setup(pos, active, cfg, options)
-
-    if binning is None:
-        binning = dense_ops.bin_to_planes(
-            pos, inv_mass, radius, batch_slot, active, cell_size,
-            grid_dim=g, slots_per_cell=k)
-        if options.budget_mode == "ordered":
-            binning = _dense_add_cum(binning, max_pairs, k, options.use_pallas)
-    else:
-        binning = dense_ops.refresh_positions(binning, pos)
-
-    params = dense_ops.SweepParams(
-        collision_compliance=collision_compliance,
-        cohesion_compliance=cohesion_compliance,
-        collision_overlap_factor=cfg.collision_overlap_factor,
-        cohesion_factor=cfg.cohesion_interaction_distance_factor,
-        max_pairs=max_pairs)
-    cohesion = options.cohesion_mode == "spacing"
-    ordered = options.budget_mode == "ordered"
     from .pallas import sweep_kernel
     rp = dense_ops.ROW_PAD
+    lanes = g * k
+    cohesion = options.cohesion_mode == "spacing"
+    ordered = options.budget_mode == "ordered"
 
-    def one_pass(_, planes):
-        corr = sweep_kernel.sweep_planes(planes, params, k, cohesion=cohesion,
+    aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
+                          tx, ty, td], axis=1)
+    binning = dense_ops.bin_to_planes(
+        pos, inv_mass, radius, batch_slot, act, cell_size,
+        grid_dim=g, slots_per_cell=k, aux_cols=aux_cols)
+    if ordered:
+        binning = _dense_add_cum(binning, k, options.use_pallas)
+    planes, aux = binning.planes, binning.aux
+
+    def collision_pass(_, pl):
+        corr = sweep_kernel.sweep_planes(pl, params, k, cohesion=cohesion,
                                          ordered_budget=ordered,
                                          use_pallas=options.use_pallas)
-        planes = planes.at[dense_ops.FIELD_X, rp:rp + g].add(relaxation * corr[0])
-        planes = planes.at[dense_ops.FIELD_Y, rp:rp + g].add(relaxation * corr[1])
-        return planes
+        pl = pl.at[dense_ops.FIELD_X, rp:rp + g].add(relaxation * corr[0])
+        pl = pl.at[dense_ops.FIELD_Y, rp:rp + g].add(relaxation * corr[1])
+        return dense_ops.refresh_halo_xy(pl)
 
-    planes = jax.lax.fori_loop(0, n_passes, one_pass, binning.planes)
+    for _ in range(n_sub):
+        # pre-solve (:1393-1432): damped integration; mass/radius already
+        # derived once per step (deterministic re-derivation, :1420-1430)
+        px, py = planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y]
+        vx = aux[AUX_VX] * damp
+        vy = aux[AUX_VY] * damp
+        aux = (aux.at[AUX_PX].set(px).at[AUX_PY].set(py)
+                  .at[AUX_VX].set(vx).at[AUX_VY].set(vy))
+        x = px + sub_dt * vx
+        y = py + sub_dt * vy
+        # follow constraint (:1435-1471) — target fields plane-resident
+        dx, dy = _follow_delta(x, y, planes[dense_ops.FIELD_W],
+                               planes[dense_ops.FIELD_OCC] > 0.0,
+                               aux[AUX_TX], aux[AUX_TY], aux[AUX_TD], follow_c)
+        planes = (planes.at[dense_ops.FIELD_X].set(x + dx)
+                        .at[dense_ops.FIELD_Y].set(y + dy))
+        # collision passes (:1866-1913)
+        planes = jax.lax.fori_loop(0, options.n_collision_steps,
+                                   collision_pass, planes)
+        # post-solve velocity (:1690-1693)
+        aux = (aux.at[AUX_VX].set((planes[dense_ops.FIELD_X] - aux[AUX_PX])
+                                  / sub_dt)
+                  .at[AUX_VY].set((planes[dense_ops.FIELD_Y] - aux[AUX_PY])
+                                  / sub_dt))
 
-    # extract final positions: one row gather per particle
-    xy = jnp.stack([planes[dense_ops.FIELD_X, rp:rp + g],
-                    planes[dense_ops.FIELD_Y, rp:rp + g]], axis=-1).reshape(-1, 2)
-    got = xy[jnp.minimum(binning.slot, g * lanes - 1)]
-    keep = (binning.slot < g * lanes) & active
-    return jnp.where(keep[:, None], got, pos)
+    # single extraction gather: 6 fields per particle
+    ext = jnp.stack([planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
+                     aux[AUX_PX], aux[AUX_PY],
+                     aux[AUX_VX], aux[AUX_VY]], axis=-1)    # (rows, L, 6)
+    ext = ext.reshape(-1, 6)
+    padded = jnp.minimum(binning.slot + rp * lanes, ext.shape[0] - 1)
+    got = ext[padded]
+    in_grid = binning.slot < g * lanes
+    return (got[:, 0:2], got[:, 2:4], got[:, 4:6], in_grid)
 
+
+def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
+                           batch_target, follow_radius, sub_dt, relaxation,
+                           options: SolverOptions, g: int, k: int):
+    """Whole-step dense path: one binning per step (or per substep), all
+    substep math in plane layout; budget-dropped particles fall back to
+    integration-without-collision (the reference's past-cutoff behavior,
+    :1656-1658)."""
+    damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)           # :1768
+    mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
+    inv_mass = jnp.where(act, 1.0 / jnp.maximum(mass, jnp.float32(1e-12)), 0.0)
+    radius = jnp.where(act, jnp_mix(cfg.min_radius, cfg.max_radius, mass_t), 0.0)
+
+    follow_c = strength_to_compliance(cfg.follow_strength, sub_dt)
+    collision_c = strength_to_compliance(cfg.collision_strength, sub_dt)
+    cohesion_c = strength_to_compliance(cfg.cohesion_strength, sub_dt)
+    cell_size, params = _dense_params(cfg, act, collision_c, cohesion_c, options)
+
+    # follow target per particle, once per step (targets static within a step)
+    table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
+    rows3 = take_batch_rows(table, batch_slot)
+    tx, ty, td = rows3[:, 0], rows3[:, 1], 2.0 * rows3[:, 2]
+
+    def fallback_substep(p, v):
+        """One pre-solve + follow substep in particle layout (no collision)."""
+        v = v * damp
+        prev = p
+        p = p + sub_dt * v
+        fdx, fdy = _follow_delta(p[:, 0], p[:, 1], inv_mass, act,
+                                 tx, ty, td, follow_c)
+        p = p + jnp.stack([fdx, fdy], axis=1)
+        return p, prev, (p - prev) / sub_dt
+
+    n_sub = options.n_substeps
+    per_bin = n_sub if options.dense_rebin == "step" else 1
+    new_pos, new_vel = pos, vel
+    new_prev = pos
+    for s0 in range(0, n_sub, per_bin):
+        p_pl, prev_pl, v_pl, in_grid = _plane_substeps(
+            new_pos, new_vel, inv_mass, radius, batch_slot, act,
+            tx, ty, td, damp, follow_c, cell_size, params,
+            sub_dt, relaxation, options, g, k, per_bin)
+        fb_p, fb_prev, fb_v = new_pos, new_pos, new_vel
+        for _ in range(per_bin):
+            fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
+        sel = (in_grid & act)[:, None]
+        keep = act[:, None]
+        new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, new_pos))
+        new_prev = jnp.where(sel, prev_pl, jnp.where(keep, fb_prev, new_prev))
+        new_vel = jnp.where(sel, v_pl, jnp.where(keep, fb_v, new_vel))
+    return new_pos, new_prev, new_vel, inv_mass, radius
+
+
+# ----------------------------------------------------- classic substep path --
 
 def post_solve(pos, prev, active, batch_slot, sub_dt, max_batches: int):
     """True-velocity update + centroid/max aggregates (reference :1669-1718).
@@ -489,9 +598,10 @@ def _aabb(pos, radius, active):
 
 def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
             cfg: DeviceConfig, batch_target, follow_radius,
-            sub_dt, relaxation, options: SolverOptions, max_batches: int,
-            dense_binning=None):
-    """One solver substep over a single population (reference :1821-1932)."""
+            sub_dt, relaxation, options: SolverOptions,
+            g: int = 0, k: int = 0):
+    """One solver substep over a single population (reference :1821-1932);
+    the gather engine and the strict per-pass dense path."""
     follow_c = strength_to_compliance(cfg.follow_strength, sub_dt)
     collision_c = strength_to_compliance(cfg.collision_strength, sub_dt)
     cohesion_c = strength_to_compliance(cfg.cohesion_strength, sub_dt)
@@ -500,19 +610,17 @@ def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
     pos = solve_follow(pos, inv_mass, batch_slot, active,
                        batch_target, follow_radius, follow_c)
 
-    if options.engine == "dense" and options.dense_rebin in ("substep", "step"):
-        pos = dense_collision_phase(pos, inv_mass, radius, batch_slot, active,
-                                    cfg, collision_c, cohesion_c, relaxation,
-                                    options, options.n_collision_steps,
-                                    binning=dense_binning)
-    else:
-        pair_fn = solve_pairs if options.engine == "gather" else solve_pairs_dense
-
+    if options.engine == "gather":
         def collision_pass(_, p):
-            return pair_fn(p, inv_mass, radius, batch_slot, active, cfg,
-                           collision_c, cohesion_c, relaxation, options)
+            return solve_pairs(p, inv_mass, radius, batch_slot, active, cfg,
+                               collision_c, cohesion_c, relaxation, options)
+    else:
+        def collision_pass(_, p):
+            return solve_pairs_dense(p, inv_mass, radius, batch_slot, active,
+                                     cfg, collision_c, cohesion_c, relaxation,
+                                     options, g, k)
 
-        pos = jax.lax.fori_loop(0, options.n_collision_steps, collision_pass, pos)
+    pos = jax.lax.fori_loop(0, options.n_collision_steps, collision_pass, pos)
 
     # true-velocity update (reference :1690-1693); the aggregate stats of
     # post_solve are computed once per step in `step`, not per substep
@@ -521,6 +629,88 @@ def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
 
 
 # --------------------------------------------------------------- whole step --
+
+def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
+               relaxation, options: SolverOptions
+               ) -> Tuple[ParticleState, StepStats]:
+    sub_dt = jnp.maximum(step_delta / options.n_substeps, EPS)  # :1723
+    capacity = state.capacity
+    caps = options.pop_caps or (capacity, capacity)
+    caps = tuple(min(c, capacity) for c in caps)
+    active_full = state.active_mask()
+    max_batches = state.max_batches
+
+    # pre-step positions + centroid for frame interpolation (:1795-1818)
+    last_pos = state.pos
+    n_act = jnp.maximum(jnp.sum(active_full, axis=1), 1)
+    last_centroid = (jnp.sum(jnp.where(active_full[..., None], state.pos, 0.0),
+                             axis=1) / n_act[:, None])
+
+    follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))  # :1789-1792
+
+    new_pos, new_prev, new_vel = state.pos, state.prev, state.vel
+    new_inv, new_rad = state.inv_mass, state.radius
+    stat_outs = []
+    # populations run as a Python loop (2 traces), not vmap: the Pallas sweep
+    # kernel can't be batched, the two populations share no compute, and the
+    # static per-population slice caps/grids differ
+    for i in range(2):
+        cap = caps[i]
+        pos = state.pos[i, :cap]
+        vel = state.vel[i, :cap]
+        mass_t = state.mass_t[i, :cap]
+        batch_slot = state.batch_slot[i, :cap]
+        act = active_full[i, :cap]
+        cfg = jax.tree.map(lambda a: a[i], cfg2)
+        g = options.dense_grid_dim[i]
+        k = options.dense_slots[i]
+
+        if options.engine == "dense" and options.dense_rebin in ("step", "substep"):
+            pos, prev, vel, inv_mass, radius = _population_step_dense(
+                pos, vel, mass_t, batch_slot, act, cfg, state.batch_target,
+                follow_radius[i], sub_dt, relaxation, options, g, k)
+        else:
+            prev = state.prev[i, :cap]
+            inv_mass = state.inv_mass[i, :cap]
+            radius = state.radius[i, :cap]
+            # unrolled substep loop (n_substeps is 2 by default; unrolling
+            # avoids lax.scan carry traffic and lets XLA fuse across substeps)
+            for _ in range(options.n_substeps):
+                pos, prev, vel, inv_mass, radius = substep(
+                    pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
+                    act, cfg, state.batch_target, follow_radius[i],
+                    sub_dt, relaxation, options, g, k)
+
+        # per-step aggregates (the reference computes these per substep in
+        # _post_solve :1669-1718; only the final values are observable)
+        n_a = jnp.maximum(jnp.sum(act), 1)
+        centroid = jnp.sum(jnp.where(act[:, None], pos, 0.0), axis=0) / n_a
+        speed2 = jnp.sum(vel * vel, axis=-1)
+        max_vel = jnp.sqrt(jnp.max(jnp.where(act, speed2, 0.0)))
+        batch_sum, batch_count = batch_segment_sums(pos, act, batch_slot,
+                                                    max_batches)
+        lo, hi = _aabb(pos, radius, act)
+        mrad = jnp.max(jnp.where(act, radius, 0.0))
+        stat_outs.append((centroid, max_vel, batch_sum, batch_count, lo, hi, mrad))
+
+        new_pos = new_pos.at[i, :cap].set(pos)
+        new_prev = new_prev.at[i, :cap].set(prev)
+        new_vel = new_vel.at[i, :cap].set(vel)
+        new_inv = new_inv.at[i, :cap].set(inv_mass)
+        new_rad = new_rad.at[i, :cap].set(radius)
+
+    (centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *stat_outs)
+
+    new_state = state.replace(pos=new_pos, prev=new_prev, vel=new_vel,
+                              inv_mass=new_inv, radius=new_rad,
+                              last_pos=last_pos)
+    stats = StepStats(
+        aabb_min=lo, aabb_max=hi, centroid=centroid,
+        last_centroid=last_centroid, max_radius=jnp.maximum(mrad, 1.0),
+        max_velocity=max_vel, batch_pos_sum=batch_sum, batch_count=batch_count)
+    return new_state, stats
+
 
 @functools.partial(jax.jit, static_argnames=("options",))
 def step(state: ParticleState, cfg2: DeviceConfig, step_delta: jnp.ndarray,
@@ -532,68 +722,27 @@ def step(state: ParticleState, cfg2: DeviceConfig, step_delta: jnp.ndarray,
     Everything dynamic (configs, dt, relaxation) is traced, so live config
     edits and dt changes never recompile; only ``options`` is static.
     """
-    sub_dt = jnp.maximum(step_delta / options.n_substeps, EPS)  # :1723
-    active = state.active_mask()
-    max_batches = state.max_batches
+    return _step_impl(state, cfg2, step_delta, relaxation, options)
 
-    # pre-step positions + centroid for frame interpolation (:1795-1818)
-    last_pos = state.pos
-    n_act = jnp.maximum(jnp.sum(active, axis=1), 1)
-    last_centroid = (jnp.sum(jnp.where(active[..., None], state.pos, 0.0), axis=1)
-                     / n_act[:, None])
 
-    follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))  # :1789-1792
+@functools.partial(jax.jit, static_argnames=("options", "n_steps"))
+def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
+               relaxation, options: SolverOptions, n_steps: int
+               ) -> Tuple[ParticleState, StepStats]:
+    """``n_steps`` dependence-chained fixed steps in ONE dispatch.
 
-    def one_population(pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
-                       act, cfg, frad):
-        binning = None
-        if options.engine == "dense" and options.dense_rebin == "step":
-            # one sort + permutation build per STEP; substeps refresh positions
-            cell_size, max_pairs = _dense_setup(pos, act, cfg, options)
-            binning = dense_ops.bin_to_planes(
-                pos, inv_mass, radius, batch_slot, act, cell_size,
-                grid_dim=options.dense_grid_dim,
-                slots_per_cell=options.dense_slots)
-            if options.budget_mode == "ordered":
-                binning = _dense_add_cum(binning, max_pairs,
-                                         options.dense_slots, options.use_pallas)
-        # unrolled substep loop (n_substeps is 2 by default; unrolling avoids
-        # lax.scan carry traffic and lets XLA fuse across substep boundaries)
-        for _ in range(options.n_substeps):
-            pos, prev, vel, inv_mass, radius = substep(
-                pos, prev, vel, inv_mass, radius, mass_t, batch_slot,
-                act, cfg, state.batch_target, frad,
-                sub_dt, relaxation, options, max_batches,
-                dense_binning=binning)
+    The device executes the steps back-to-back with no host round-trips —
+    the headless fast-forward API (and the honest way to measure per-step
+    device latency on tunneled runtimes, where a single dispatch+read costs
+    ~27 ms of pure RTT)."""
+    from ..state import zeros_stats
 
-        # per-step aggregates (the reference computes these per substep in
-        # _post_solve :1669-1718; only the final values are observable)
-        n_act = jnp.maximum(jnp.sum(act), 1)
-        centroid = jnp.sum(jnp.where(act[:, None], pos, 0.0), axis=0) / n_act
-        speed2 = jnp.sum(vel * vel, axis=-1)
-        max_vel = jnp.sqrt(jnp.max(jnp.where(act, speed2, 0.0)))
-        batch_sum, batch_count = batch_segment_sums(pos, act, batch_slot, max_batches)
-        lo, hi = _aabb(pos, radius, act)
-        mrad = jnp.max(jnp.where(act, radius, 0.0))
-        return (pos, prev, vel, inv_mass, radius,
-                centroid, max_vel, batch_sum, batch_count, lo, hi, mrad)
+    def body(carry, _):
+        s, _stats = carry
+        s2, st = _step_impl(s, cfg2, step_delta, relaxation, options)
+        return (s2, st), None
 
-    # populations run as a Python loop (2 traces), not vmap: the Pallas sweep
-    # kernel can't be batched, and the two populations share no compute
-    outs = []
-    for i in range(2):
-        outs.append(one_population(
-            state.pos[i], state.prev[i], state.vel[i], state.inv_mass[i],
-            state.radius[i], state.mass_t[i], state.batch_slot[i], active[i],
-            jax.tree.map(lambda a: a[i], cfg2), follow_radius[i]))
-    (pos, prev, vel, inv_mass, radius,
-     centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *outs)
-
-    new_state = state.replace(pos=pos, prev=prev, vel=vel, inv_mass=inv_mass,
-                              radius=radius, last_pos=last_pos)
-    stats = StepStats(
-        aabb_min=lo, aabb_max=hi, centroid=centroid,
-        last_centroid=last_centroid, max_radius=jnp.maximum(mrad, 1.0),
-        max_velocity=max_vel, batch_pos_sum=batch_sum, batch_count=batch_count)
-    return new_state, stats
+    init = (state, zeros_stats(state.max_batches))
+    (final_state, final_stats), _ = jax.lax.scan(body, init, None,
+                                                 length=n_steps)
+    return final_state, final_stats
