@@ -256,8 +256,12 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
             ddx = ox - sx
             ddy = oy - sy
             dist2 = ddx * ddx + ddy * ddy
-            dist = jnp.sqrt(dist2)
-            inv_dist = jnp.where(dist > EPS, 1.0 / jnp.maximum(dist, EPS), 0.0)
+            # rsqrt replaces sqrt+divide (exact to float rounding; coincident
+            # pairs give inv_dist = 0, the reference's eps guard :1531)
+            inv_dist = jnp.where(dist2 > EPS * EPS,
+                                 jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
+                                 0.0)
+            dist = dist2 * inv_dist
 
             valid = (socc > 0.0) & (oocc > 0.0) & mask
             if ordered_budget:
@@ -268,21 +272,21 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
             ok = valid & (w_sum >= EPS)                    # :1601
 
             scale = jnp.zeros_like(dist)
+            # clip(-viol/D, ±|viol|) == -viol/max(D, 1) for D >= EPS (which
+            # `ok` guarantees; the result is masked outside `ok`): |corr| <=
+            # |viol| iff D >= 1 — the reference's correction clamp :1535-1536
+            # folded into the division
             if cohesion:
                 same = sb == ob
                 coh_d = cohesion_f * (sr + orr)
                 viol = dist - coh_d
-                corr = jnp.where(w_sum + cohesion_c >= EPS,
-                                 -viol / jnp.maximum(w_sum + cohesion_c, EPS), 0.0)
-                corr = jnp.clip(corr, -jnp.abs(viol), jnp.abs(viol))
+                corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
                 scale = scale + jnp.where(ok & same & (dist2 <= coh_d * coh_d),
                                           corr * sw, 0.0)
 
             min_d = overlap_f * (sr + orr)
             viol = dist - min_d
-            corr = jnp.where(w_sum + collision_c >= EPS,
-                             -viol / jnp.maximum(w_sum + collision_c, EPS), 0.0)
-            corr = jnp.clip(corr, -jnp.abs(viol), jnp.abs(viol))  # :1535-1536
+            corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
             scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
                                       corr * sw, 0.0)
 

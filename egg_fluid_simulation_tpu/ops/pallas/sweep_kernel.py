@@ -103,8 +103,13 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
             ddx = ox - sx
             ddy = oy - sy
             dist2 = ddx * ddx + ddy * ddy
-            dist = jnp.sqrt(dist2)
-            inv_dist = jnp.where(dist > EPS, 1.0 / jnp.maximum(dist, EPS), 0.0)
+            # rsqrt replaces sqrt+divide; clip(-viol/D, ±|viol|) folds into
+            # -viol/max(D, 1) — see ops/dense.py sweep_planes_jnp (the golden
+            # model); both exact to float rounding
+            inv_dist = jnp.where(dist2 > EPS * EPS,
+                                 jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
+                                 0.0)
+            dist = dist2 * inv_dist
 
             w_sum = sw + ow
             ok = valid & (w_sum >= EPS)
@@ -114,17 +119,13 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
                 ob = o_block[D.FIELD_BATCH]
                 coh_d = cohesion_f * (sr + orr)
                 viol = dist - coh_d
-                corr = jnp.where(w_sum + cohesion_c >= EPS,
-                                 -viol / jnp.maximum(w_sum + cohesion_c, EPS), 0.0)
-                corr = jnp.clip(corr, -jnp.abs(viol), jnp.abs(viol))
+                corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
                 scale = scale + jnp.where(ok & (sb == ob) & (dist2 <= coh_d * coh_d),
                                           corr * sw, 0.0)
 
             min_d = overlap_f * (sr + orr)
             viol = dist - min_d
-            corr = jnp.where(w_sum + collision_c >= EPS,
-                             -viol / jnp.maximum(w_sum + collision_c, EPS), 0.0)
-            corr = jnp.clip(corr, -jnp.abs(viol), jnp.abs(viol))
+            corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
             scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
                                       corr * sw, 0.0)
 

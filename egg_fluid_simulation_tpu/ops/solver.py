@@ -521,7 +521,8 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
 
 def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
                            batch_target, follow_radius, sub_dt, relaxation,
-                           options: SolverOptions, g: int, k: int):
+                           options: SolverOptions, g: int, k: int,
+                           follow_rows=None):
     """Whole-step dense path: one binning per step (or per substep), all
     substep math in plane layout; budget-dropped particles fall back to
     integration-without-collision (the reference's past-cutoff behavior,
@@ -536,9 +537,12 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
     cohesion_c = strength_to_compliance(cfg.cohesion_strength, sub_dt)
     cell_size, params = _dense_params(cfg, act, collision_c, cohesion_c, options)
 
-    # follow target per particle, once per step (targets static within a step)
-    table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
-    rows3 = take_batch_rows(table, batch_slot)
+    # follow target per particle, once per step (targets static within a step;
+    # multi_step hoists this expansion out of the whole scan)
+    if follow_rows is None:
+        table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
+        follow_rows = take_batch_rows(table, batch_slot)
+    rows3 = follow_rows
     tx, ty, td = rows3[:, 0], rows3[:, 1], 2.0 * rows3[:, 2]
 
     def fallback_substep(p, v):
@@ -631,8 +635,8 @@ def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
 # --------------------------------------------------------------- whole step --
 
 def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
-               relaxation, options: SolverOptions
-               ) -> Tuple[ParticleState, StepStats]:
+               relaxation, options: SolverOptions, with_stats: bool = True,
+               follow_rows=None) -> Tuple[ParticleState, Optional[StepStats]]:
     sub_dt = jnp.maximum(step_delta / options.n_substeps, EPS)  # :1723
     capacity = state.capacity
     caps = options.pop_caps or (capacity, capacity)
@@ -642,9 +646,10 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
 
     # pre-step positions + centroid for frame interpolation (:1795-1818)
     last_pos = state.pos
-    n_act = jnp.maximum(jnp.sum(active_full, axis=1), 1)
-    last_centroid = (jnp.sum(jnp.where(active_full[..., None], state.pos, 0.0),
-                             axis=1) / n_act[:, None])
+    if with_stats:
+        n_act = jnp.maximum(jnp.sum(active_full, axis=1), 1)
+        last_centroid = (jnp.sum(jnp.where(active_full[..., None], state.pos,
+                                           0.0), axis=1) / n_act[:, None])
 
     follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))  # :1789-1792
 
@@ -668,7 +673,8 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
         if options.engine == "dense" and options.dense_rebin in ("step", "substep"):
             pos, prev, vel, inv_mass, radius = _population_step_dense(
                 pos, vel, mass_t, batch_slot, act, cfg, state.batch_target,
-                follow_radius[i], sub_dt, relaxation, options, g, k)
+                follow_radius[i], sub_dt, relaxation, options, g, k,
+                follow_rows=None if follow_rows is None else follow_rows[i])
         else:
             prev = state.prev[i, :cap]
             inv_mass = state.inv_mass[i, :cap]
@@ -681,17 +687,20 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
                     act, cfg, state.batch_target, follow_radius[i],
                     sub_dt, relaxation, options, g, k)
 
-        # per-step aggregates (the reference computes these per substep in
-        # _post_solve :1669-1718; only the final values are observable)
-        n_a = jnp.maximum(jnp.sum(act), 1)
-        centroid = jnp.sum(jnp.where(act[:, None], pos, 0.0), axis=0) / n_a
-        speed2 = jnp.sum(vel * vel, axis=-1)
-        max_vel = jnp.sqrt(jnp.max(jnp.where(act, speed2, 0.0)))
-        batch_sum, batch_count = batch_segment_sums(pos, act, batch_slot,
-                                                    max_batches)
-        lo, hi = _aabb(pos, radius, act)
-        mrad = jnp.max(jnp.where(act, radius, 0.0))
-        stat_outs.append((centroid, max_vel, batch_sum, batch_count, lo, hi, mrad))
+        if with_stats:
+            # per-step aggregates (the reference computes these per substep
+            # in _post_solve :1669-1718 but reads centroids lazily via
+            # `centroid_needs_update` :289-293; only final values observable)
+            n_a = jnp.maximum(jnp.sum(act), 1)
+            centroid = jnp.sum(jnp.where(act[:, None], pos, 0.0), axis=0) / n_a
+            speed2 = jnp.sum(vel * vel, axis=-1)
+            max_vel = jnp.sqrt(jnp.max(jnp.where(act, speed2, 0.0)))
+            batch_sum, batch_count = batch_segment_sums(pos, act, batch_slot,
+                                                        max_batches)
+            lo, hi = _aabb(pos, radius, act)
+            mrad = jnp.max(jnp.where(act, radius, 0.0))
+            stat_outs.append((centroid, max_vel, batch_sum, batch_count,
+                              lo, hi, mrad))
 
         new_pos = new_pos.at[i, :cap].set(pos)
         new_prev = new_prev.at[i, :cap].set(prev)
@@ -699,12 +708,14 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
         new_inv = new_inv.at[i, :cap].set(inv_mass)
         new_rad = new_rad.at[i, :cap].set(radius)
 
-    (centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *stat_outs)
-
     new_state = state.replace(pos=new_pos, prev=new_prev, vel=new_vel,
                               inv_mass=new_inv, radius=new_rad,
                               last_pos=last_pos)
+    if not with_stats:
+        return new_state, None
+
+    (centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *stat_outs)
     stats = StepStats(
         aabb_min=lo, aabb_max=hi, centroid=centroid,
         last_centroid=last_centroid, max_radius=jnp.maximum(mrad, 1.0),
@@ -734,15 +745,30 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
     The device executes the steps back-to-back with no host round-trips —
     the headless fast-forward API (and the honest way to measure per-step
     device latency on tunneled runtimes, where a single dispatch+read costs
-    ~27 ms of pure RTT)."""
-    from ..state import zeros_stats
+    ~27 ms of pure RTT).
 
-    def body(carry, _):
-        s, _stats = carry
-        s2, st = _step_impl(s, cfg2, step_delta, relaxation, options)
-        return (s2, st), None
+    Aggregate stats are produced for the FINAL step only — the reference
+    itself reads centroids lazily (``centroid_needs_update``, :289-293,
+    :1134-1148) — and the per-particle follow-target expansion is hoisted out
+    of the scan (targets and batch membership are constant across the call).
+    """
+    capacity = state.capacity
+    caps = options.pop_caps or (capacity, capacity)
+    caps = tuple(min(c, capacity) for c in caps)
+    follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))
+    follow_rows = tuple(
+        take_batch_rows(
+            jnp.concatenate([state.batch_target,
+                             follow_radius[i][:, None]], axis=1),
+            state.batch_slot[i, :caps[i]])
+        for i in range(2))
 
-    init = (state, zeros_stats(state.max_batches))
-    (final_state, final_stats), _ = jax.lax.scan(body, init, None,
-                                                 length=n_steps)
-    return final_state, final_stats
+    def body(s, _):
+        s2, _none = _step_impl(s, cfg2, step_delta, relaxation, options,
+                               with_stats=False, follow_rows=follow_rows)
+        return s2, None
+
+    if n_steps > 1:
+        state, _ = jax.lax.scan(body, state, None, length=n_steps - 1)
+    return _step_impl(state, cfg2, step_delta, relaxation, options,
+                      with_stats=True, follow_rows=follow_rows)
