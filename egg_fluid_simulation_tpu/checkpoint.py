@@ -74,6 +74,7 @@ def load(path: str, *, options=None) -> SimulationHandler:
     handler._elapsed = meta["elapsed"]
     handler._interpolation_alpha = meta["interpolation_alpha"]
     handler._host_targets = np.asarray(data["host_targets"])
+    handler._refresh_auto_options()   # size solver options to restored counts
     from .handler import _compute_stats
     handler._stats = _compute_stats(handler._state)
     return handler

@@ -109,7 +109,7 @@ class SimulationHandler:
     def __init__(self, white_config: Dict, yolk_config: Optional[Dict] = None, *,
                  capacity: int = 4096, max_batches: int = 256,
                  options: Optional[SolverOptions] = None,
-                 canvas_size: int = 512,
+                 canvas_size: Optional[int] = None,
                  jacobi_relaxation: float = 1.0):
         if yolk_config is None:
             yolk_config = white_config  # :426
@@ -486,13 +486,17 @@ class SimulationHandler:
 
     # --------------------------------------------------------------- render --
 
-    def draw(self, viewport=None, background=None):
+    def draw(self, viewport=None, background=None, check_overflow=False):
         """Render all batches to an RGBA image (reference ``draw`` :159-162).
 
         Returns an (H, W, 4) float32 array. ``viewport`` is ``(x, y, w, h)`` in
         world px. Repeated draws without an intervening step/recolor return a
         cached frame — the analog of the reference's ``_canvases_need_update``
-        dirty flag (:1996-1999).
+        dirty flag (:1996-1999). Canvases are sized per population to the
+        particle AABB (static buckets, 2560 clamp — reference :1944-1954)
+        unless the handler was constructed with a fixed ``canvas_size``.
+        ``check_overflow=True`` warns when the per-bin render budget dropped
+        particles (costs one device sync).
         """
         from .ops import render as render_ops
         key = (tuple(viewport) if viewport is not None else None,
@@ -500,7 +504,8 @@ class SimulationHandler:
                self._interpolation_alpha)
         if self._frames is not None and self._frame_key == key:
             return self._frames
-        frame = render_ops.draw(self, viewport=viewport, background=background)
+        frame = render_ops.draw(self, viewport=viewport, background=background,
+                                check_overflow=check_overflow)
         self._frames = frame
         self._frame_key = key
         return frame

@@ -79,7 +79,8 @@ class DenseBinning(NamedTuple):
     aux: Optional[jnp.ndarray]  # (A, G+2*ROW_PAD, L) f32 ride-along fields
     slot: jnp.ndarray       # (N,) i32 unpadded flat slot (row*L + cx*K + rank),
                             # G*L = dropped from collision (rank >= K)
-    pidx_grid: jnp.ndarray  # (rows*L,) i32 particle index per padded slot, -1 empty
+    pidx_grid: Optional[jnp.ndarray]  # (rows*L,) i32 particle index per padded
+                            # slot, -1 empty; None on the placement-kernel path
     cell_size: jnp.ndarray  # scalar f32
 
 
@@ -129,13 +130,24 @@ def torus_cells(pos: jnp.ndarray, cell_size, grid_dim: int) -> jnp.ndarray:
 
 def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
                   *, grid_dim: int, slots_per_cell: int,
-                  cum=None, aux_cols=None) -> DenseBinning:
-    """Sort-bin particles into dense field planes (one sort, one scatter).
+                  cum=None, aux_cols=None, use_placement=False,
+                  interpret=False) -> DenseBinning:
+    """Sort-bin particles into dense field planes.
 
     ``aux_cols`` is an optional (N, A) matrix of extra per-particle fields to
     ride along in a separate ``aux`` tensor (same layout, not read by the
     sweep kernel — used by the plane-resident step for velocity / previous
     position / follow-target fields).
+
+    Two placement backends, bit-identical outputs:
+
+    - ``use_placement=True``: the Pallas one-hot-matmul placement kernel
+      (ops/pallas/place_kernel.py) — no scatter, no oversized gather.
+    - default: inverse-index scatter + row gather (XLA row scatters run
+      ~45ns/row on TPU while row gathers run ~4ns/row, so only the (N,)
+      particle-index permutation is scattered and the wide payload gathered).
+      This is the golden model and the ordered-budget path (it produces
+      ``pidx_grid`` for the budget prefix refresh).
     """
     n = pos.shape[0]
     g, k = grid_dim, slots_per_cell
@@ -168,10 +180,18 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
     if aux_cols is not None:
         pack = jnp.concatenate([pack, aux_cols], axis=1)   # (N, 8 + A)
 
-    # Build planes by inverse-index scatter + ROW GATHER: XLA row scatters run
-    # ~45ns/row on TPU while row gathers run ~4ns/row, so we scatter only the
-    # (N,) particle-index permutation and gather the wide payload.
     rows = g + 2 * ROW_PAD
+    if use_placement:
+        from .pallas import place_kernel
+        pack_sorted = pack[pidx_sorted]                    # (N, F) sorted rows
+        all_planes = place_kernel.place_planes(slot_sorted, pack_sorted, g, k,
+                                               interpret=interpret)
+        planes = fill_halo(all_planes[:N_FIELDS])
+        aux = (fill_halo(all_planes[N_FIELDS:pack.shape[1]])
+               if aux_cols is not None else None)
+        return DenseBinning(planes=planes, aux=aux, slot=slot, pidx_grid=None,
+                            cell_size=cell_size)
+
     slot_padded = jnp.where(slot_sorted < g * lanes,
                             slot_sorted + ROW_PAD * lanes, rows * lanes)
     pidx_grid = jnp.full((rows * lanes + 1,), -1, jnp.int32)

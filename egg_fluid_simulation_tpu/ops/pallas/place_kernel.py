@@ -1,0 +1,154 @@
+"""Pallas TPU kernel: build the dense field planes from sort-binned particles.
+
+After the cell sort, particle slots are ASCENDING — building the plane tensor
+is an ordered "expand with gaps", which XLA can only express as an
+element-serialized scatter (~7 ns/element) plus a 2x-oversized row gather
+(~6 ms at 1M particles). This kernel replaces both.
+
+Each program produces one 512-slot chunk of the flattened (F, G*L) plane
+tensor. Slots are unique and sorted, so the particles landing in a chunk are
+one contiguous input run of length <= 512 whose start is a scalar-prefetched
+searchsorted result. The program:
+
+1. DMAs a lane-aligned window ``pack_t[:, align(start) : align(start)+640]``
+   of the TRANSPOSED sorted payload straight from HBM (starts are rounded
+   down to the 128-lane tile, so no unaligned slicing anywhere),
+2. places entries with a one-hot matmul on the MXU over the whole window:
+   ``out[f, o] = sum_j pack[f, j] * [slot_j == o0 + o]`` — exact, since the
+   one-hot selects at most one window entry per output slot (entries outside
+   the chunk's slot range simply match nothing),
+3. writes the (F, 512) chunk.
+
+Torus halo rows (ops/dense.py) are filled by the caller's ``fill_halo`` — two
+row-block copies.
+
+The jnp scatter+gather path in ops/dense.py remains the golden model and the
+CPU / ordered-budget fallback; a unit test diffs the two bit-for-bit in
+interpret mode. Capability parity: the reference's per-pass hash rebuild is
+``_rebuild_spatial_hash`` (/root/reference/simulation_handler.lua:1486-1511).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import dense as D
+
+__all__ = ["place_planes", "on_tpu"]
+
+_SUB = 512        # output slots per program
+_ALIGN = 128      # lane tile: DMA starts rounded down to this
+_F_PAD = 16       # padded field count (8 pair + up to 7 aux + slot column)
+SLOT_COL = 15     # the slot rides as an f32 payload column (exact < 2^24)
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _make_kernel(sub: int, win: int):
+    def kernel(starts_ref, pack_hbm, out_ref, scratch, sem):
+        c = pl.program_id(0)
+        start = starts_ref[c]
+        aligned = (start // _ALIGN) * _ALIGN
+        dma = pltpu.make_async_copy(
+            pack_hbm.at[:, pl.ds(aligned, win)], scratch, sem)
+        dma.start()
+        dma.wait()
+        window = scratch[:]                                 # (F, win)
+        o0 = (c * sub).astype(jnp.float32)
+        # slots are exact integers in f32 (< 2^24); compare in int32
+        # (Mosaic iota is integer-only)
+        offs = (window[SLOT_COL] - o0).astype(jnp.int32)    # (win,)
+        col = jax.lax.broadcasted_iota(jnp.int32, (win, sub), 1)
+        onehot = (offs[:, None] == col).astype(jnp.bfloat16)  # (j, o)
+
+        # The payload must survive the MXU EXACTLY (positions feed physics;
+        # an f32 matmul may silently run at bf16 under
+        # --xla_allow_excess_precision, which was observed to quantize
+        # positions to ~16px and blow the solver up). Provably exact path:
+        # bitcast f32 -> 4 bytes, four bf16 one-hot matmuls (8-bit integers
+        # and {0,1} are exact in bf16; each output selects at most one
+        # entry, so no summation error), reassemble the bits.
+        bits = pltpu.bitcast(window, jnp.int32)
+        acc = None
+        for byte in range(4):
+            b = jnp.bitwise_and(
+                jax.lax.shift_right_logical(bits, 8 * byte), 0xFF)
+            placed = jax.lax.dot_general(
+                b.astype(jnp.bfloat16), onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (F, o) exact ints
+            shifted = jax.lax.shift_left(placed.astype(jnp.int32), 8 * byte)
+            acc = shifted if acc is None else jnp.bitwise_or(acc, shifted)
+        out_ref[:, :] = pltpu.bitcast(acc, jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("g", "k", "interpret"))
+def _place_pallas(pack_t, starts, g: int, k: int, interpret: bool = False):
+    lanes = g * k
+    total = g * lanes
+    sub = min(_SUB, lanes)
+    win = sub + _ALIGN
+    assert total % sub == 0
+
+    kernel = _make_kernel(sub, win)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total // sub,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((_F_PAD, sub), lambda i, starts: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((_F_PAD, win), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_F_PAD, total), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(starts, pack_t)
+
+
+def place_planes(slot_sorted, pack_sorted, g: int, k: int,
+                 interpret: bool = False):
+    """(F_pad, rows, lanes) planes (halo rows EMPTY — caller fills) from
+    sorted slots + payload.
+
+    ``slot_sorted``: (N,) i32 ascending unpadded flat slots (g*lanes =
+    dropped). ``pack_sorted``: (N, F<=15) f32 payload in the same order.
+    Returns the stacked plane tensor; caller slices pair/aux fields and wraps
+    the torus halo. Padding column ``SLOT_COL`` is consumed here.
+    """
+    n, f = pack_sorted.shape
+    lanes = g * k
+    sub = min(_SUB, lanes)
+    win = sub + _ALIGN
+    assert f <= SLOT_COL
+
+    pad_cols = jnp.zeros((n, SLOT_COL - f), jnp.float32)
+    pack16 = jnp.concatenate(
+        [pack_sorted, pad_cols, slot_sorted.astype(jnp.float32)[:, None]],
+        axis=1)
+    pack_t = pack16.T                                       # (16, N)
+    # DMA overrun slack: one full window of sentinel entries
+    sentinel = jnp.zeros((_F_PAD, win), jnp.float32).at[SLOT_COL].set(
+        jnp.float32(g * lanes))
+    pack_t = jnp.concatenate([pack_t, sentinel], axis=1)
+
+    block_starts = jnp.arange(0, g * lanes, sub, dtype=jnp.int32)
+    starts = jnp.searchsorted(slot_sorted, block_starts).astype(jnp.int32)
+    flat = _place_pallas(pack_t, starts, g, k, interpret=interpret)
+    rows = g + 2 * D.ROW_PAD
+    out = jnp.zeros((_F_PAD, rows, lanes), jnp.float32)
+    return out.at[:, D.ROW_PAD:D.ROW_PAD + g].set(flat.reshape(_F_PAD, g, lanes))

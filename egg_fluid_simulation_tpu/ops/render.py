@@ -25,14 +25,18 @@ TPU-native design decisions (not a port):
 - The splat is evaluated **analytically** per pixel — no texture sampling.
   Screen-blend accumulation ``1 - prod(1 - a_i)`` is order-independent, so the
   scatter-style rasterization inverts into a per-tile **gather**: particles are
-  binned into canvas tiles (same sort-and-rank machinery as the solver grid)
-  and each tile multiplies its candidates' gaussian contributions. A static
-  per-tile candidate cap is the render-budget analog of the reference's canvas
-  clamp (:1953-1954).
-- Canvases are **static-size** (``canvas_size``), centered on the interpolated
-  population centroid. The reference grows canvases to the particle AABB with
-  a 2560px clamp; a fixed canvas is the XLA-friendly equivalent (content
-  outside is dropped, exactly like the reference beyond its clamp).
+  binned into canvas bins (same sort-and-rank machinery as the solver grid)
+  and each evaluation tile multiplies in its candidates' gaussian
+  contributions. Bin granularity is decoupled from the evaluation tile and
+  auto-sized to the splat footprint, so small splats don't drag in far-away
+  candidates. A static per-bin candidate cap is the render-budget analog of
+  the reference's collision budget; overflow is counted and reported (the
+  reference drops nothing but clamps its canvas instead, :1953-1954).
+- Canvases are sized per population to the particle AABB plus the reference's
+  velocity-scaled padding (:1944-1950), snapped to a static bucket
+  (256/512/1024/2048) and clamped at 2560 exactly like the reference
+  (:1953-1954). Static buckets keep XLA shapes stable: crossing a bucket
+  recompiles once, staying inside never does.
 - Fractional-pixel canvas placement is rounded to the nearest pixel during
   compositing (<=0.5px deviation; the reference bilinearly resamples).
 """
@@ -40,6 +44,7 @@ TPU-native design decisions (not a port):
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -49,26 +54,104 @@ import numpy as np
 
 from ..utils.mathx import EPS
 
-__all__ = ["RenderOptions", "splat_population", "outline_pass", "lighting_pass",
-           "render_population", "draw"]
+__all__ = ["RenderOptions", "CANVAS_BUCKETS", "splat_population",
+           "outline_pass", "lighting_pass", "render_population", "draw"]
 
 _GAUSS_COEFF = 4.0 * np.pi / 3.0  # particle_texture.glsl:8
+
+# static canvas sizes; last entry is the reference's hard clamp (:1953-1954)
+CANVAS_BUCKETS = (256, 512, 1024, 2048, 2560)
 
 
 @dataclass(frozen=True)
 class RenderOptions:
-    """Static render configuration."""
-    canvas_size: int = 512        # px, square canvas per population
-    tile_h: int = 32              # canvas tile height (sublane-friendly)
-    tile_w: int = 128             # canvas tile width (lane-aligned)
+    """Static render configuration (one per population per draw)."""
+    canvas_size: int = 512        # px, square canvas
+    tile_h: int = 32              # evaluation tile height (sublane-friendly)
+    tile_w: int = 128             # evaluation tile width (lane-aligned)
+    bin_h: int = 32               # candidate bin height (<= tile_h)
+    bin_w: int = 128              # candidate bin width (<= tile_w)
     max_splat_px: int = 64        # static half-extent cap of one splat quad
-    tile_capacity: int = 64       # max particles binned per tile (render budget)
-    max_outline_steps: int = 8    # static cap of outline dilation samples
+    tile_capacity: int = 64       # max particles per candidate bin (budget)
+    max_outline_steps: int = 8    # outline dilation samples: ceil(thick)+1
+    shift_pad: int = 16           # outline sampling reach bound (px)
     use_particle_color: bool = False
 
     def __post_init__(self):
         assert self.canvas_size % self.tile_h == 0
         assert self.canvas_size % self.tile_w == 0
+        assert self.tile_h % self.bin_h == 0
+        assert self.tile_w % self.bin_w == 0
+
+
+def auto_render_options(config: dict, canvas_size: int,
+                        use_particle_color: bool = False) -> RenderOptions:
+    """Derive static render parameters from a (host) population config.
+
+    - splat reach: ``max_radius * texture_scale`` quad half-extent, capped at
+      64 px (the smear axis can exceed this at extreme velocity; the cap is
+      the static-shape analog of the reference's texture clamp, :644-645),
+    - bin granularity ~ splat footprint (small splats shouldn't pay for
+      128px-wide candidate sharing),
+    - per-bin capacity from the densest packing the collision constraint
+      allows (spacing ``2 * collision_overlap_factor * min_radius``), with
+      3x slack for transient compression,
+    - outline sampling: ``ceil(thickness) + 1`` steps exactly like the GLSL
+      (simulation_handler_outline.glsl:14-15), reach-bounded pad.
+    """
+    splat = max(4, min(64, int(math.ceil(config["max_radius"]
+                                         * config["texture_scale"]))))
+
+    def pow2_clamp(v, lo, hi):
+        p = lo
+        while p * 2 <= min(v, hi):
+            p *= 2
+        return p
+
+    bin_h = pow2_clamp(max(splat // 2, 8), 8, min(32, canvas_size))
+    bin_w = pow2_clamp(max(splat, 16), 16, min(128, canvas_size))
+    tile_h = 32 if splat >= 32 else 8
+    tile_h = min(tile_h, canvas_size)
+    tile_h = max(tile_h, bin_h)
+    tile_w = min(128, canvas_size)
+
+    spacing = 2.0 * config["collision_overlap_factor"] * config["min_radius"]
+    density = 1.0 / max(spacing * spacing * 0.72, 1.0)   # hex-ish packing
+    k = int(math.ceil(bin_h * bin_w * density * 3.0 / 8.0)) * 8
+    k = max(16, min(256, k))
+
+    thickness = float(config["outline_thickness"])
+    steps = int(math.ceil(thickness)) + 1                # outline.glsl:14
+    if steps > 64:
+        from ..utils import log
+        log.warning("outline_thickness `", thickness, "` needs ", steps,
+                    " dilation steps; clamping to 64 (reach preserved)")
+        steps = 64
+    shift_pad = max(16, int(math.ceil(thickness)) + 2)
+
+    return RenderOptions(canvas_size=canvas_size, tile_h=tile_h, tile_w=tile_w,
+                         bin_h=bin_h, bin_w=bin_w, max_splat_px=splat,
+                         tile_capacity=k, max_outline_steps=steps,
+                         shift_pad=shift_pad,
+                         use_particle_color=use_particle_color)
+
+
+def pick_canvas_bucket(aabb_min, aabb_max, max_radius_ts, max_vel,
+                       motion_blur, fixed: Optional[int]) -> int:
+    """Canvas size for one population (reference :1944-1954).
+
+    Extent = AABB + padding ``max_radius*texture_scale*(1 + max(1,|v|max) *
+    motion_blur)`` on each side, snapped up to a static bucket, clamped at
+    2560 exactly like the reference."""
+    if fixed is not None:
+        return int(fixed)
+    pad = max_radius_ts * (1.0 + max(1.0, max_vel) * motion_blur)
+    extent = float(max(aabb_max[0] - aabb_min[0], aabb_max[1] - aabb_min[1]))
+    need = extent + 2.0 * pad
+    for b in CANVAS_BUCKETS:
+        if need <= b:
+            return b
+    return CANVAS_BUCKETS[-1]
 
 
 def _smoothstep(e0, e1, x):
@@ -78,61 +161,75 @@ def _smoothstep(e0, e1, x):
 
 # -------------------------------------------------------------- splat pass --
 
-def _bin_particles_to_tiles(p_canvas, active, opts: RenderOptions):
-    """Bin each particle ONCE by its center tile; tiles gather neighbors at eval.
+def _bin_particles(p_canvas, active, opts: RenderOptions):
+    """Bin each particle ONCE by its center bin; tiles gather neighbor bins.
 
-    One sorted entry per particle (multi-tile scatter windows cost ~18x more
+    One sorted entry per particle (multi-bin scatter windows cost ~18x more
     sort traffic); a splat reaches at most ``max_splat_px``, so at eval time a
-    tile's candidates are the bins within a static (wy, wx) neighborhood —
-    see :func:`_tile_candidates`. Returns a ``(n_tiles + 1, tile_capacity)``
-    index table (-1 empty; row n_tiles holds off-canvas particles, never read).
+    tile's candidates are the bins within a static neighborhood — see
+    :func:`_tile_candidates`. Returns ``(table, n_overflow)``: a
+    ``(n_bins + 1, tile_capacity)`` index table (-1 empty; last row holds
+    off-canvas particles, never read) and the count of on-canvas particles
+    dropped past the per-bin budget.
     """
-    s, th, tw, e = opts.canvas_size, opts.tile_h, opts.tile_w, opts.max_splat_px
-    nty, ntx = s // th, s // tw
-    n_tiles = nty * ntx
+    s, bh, bw, e = opts.canvas_size, opts.bin_h, opts.bin_w, opts.max_splat_px
+    nby, nbx = s // bh, s // bw
+    n_bins = nby * nbx
 
     n = p_canvas.shape[0]
-    ty = jnp.floor(p_canvas[:, 1] / th).astype(jnp.int32)
-    tx = jnp.floor(p_canvas[:, 0] / tw).astype(jnp.int32)
+    by = jnp.floor(p_canvas[:, 1] / bh).astype(jnp.int32)
+    bx = jnp.floor(p_canvas[:, 0] / bw).astype(jnp.int32)
     # particles slightly off-canvas can still splat onto it: clamp into the
     # edge bins when within reach, drop entirely beyond max_splat_px
     reach_y = (p_canvas[:, 1] > -e) & (p_canvas[:, 1] < s + e)
     reach_x = (p_canvas[:, 0] > -e) & (p_canvas[:, 0] < s + e)
-    ty = jnp.clip(ty, 0, nty - 1)
-    tx = jnp.clip(tx, 0, ntx - 1)
+    by = jnp.clip(by, 0, nby - 1)
+    bx = jnp.clip(bx, 0, nbx - 1)
     ok = active & reach_x & reach_y
-    bucket = jnp.where(ok, ty * ntx + tx, n_tiles)
+    bucket = jnp.where(ok, by * nbx + bx, n_bins)
 
     pidx = jnp.arange(n, dtype=jnp.int32)
     bucket_sorted, pidx_sorted = jax.lax.sort_key_val(bucket, pidx)
     from .grid import segmented_rank
     rank = segmented_rank(bucket_sorted)
     k = opts.tile_capacity
+    overflow = jnp.sum((rank >= k) & (bucket_sorted < n_bins))
     flat = jnp.where(rank < k, bucket_sorted * k + rank,
-                     jnp.int32((n_tiles + 1) * k))
-    table = jnp.full(((n_tiles + 2) * k,), -1, jnp.int32)
+                     jnp.int32((n_bins + 1) * k))
+    table = jnp.full(((n_bins + 2) * k,), -1, jnp.int32)
     table = table.at[flat].set(pidx_sorted, mode="drop")
-    return table[:(n_tiles + 1) * k].reshape(n_tiles + 1, k)
+    return table[:(n_bins + 1) * k].reshape(n_bins + 1, k), overflow
 
 
 def _tile_candidates(table, opts: RenderOptions):
-    """(n_tiles, wy*wx*K) candidate particle ids per tile from neighbor bins."""
-    s, th, tw, e = opts.canvas_size, opts.tile_h, opts.tile_w, opts.max_splat_px
+    """(n_tiles, n_window_bins*K) candidate particle ids per evaluation tile.
+
+    The window is every bin intersecting the tile dilated by the splat
+    reach — bins are footprint-sized (auto_render_options), so candidates
+    stay local to the tile."""
+    s, th, tw = opts.canvas_size, opts.tile_h, opts.tile_w
+    bh, bw, e = opts.bin_h, opts.bin_w, opts.max_splat_px
     nty, ntx = s // th, s // tw
+    nby, nbx = s // bh, s // bw
     n_tiles = nty * ntx
-    wy = 2 * (-(-e // th)) + 1
-    wx = 2 * (-(-e // tw)) + 1
+    n_bins = nby * nbx
+    ry = -(-e // bh)                     # halo bins on each side
+    rx = -(-e // bw)
+    wy = th // bh + 2 * ry
+    wx = tw // bw + 2 * rx
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     ty = tids // ntx
     tx = tids % ntx
+    by0 = ty * (th // bh) - ry
+    bx0 = tx * (tw // bw) - rx
     neighbors = []
-    for dy in range(-(wy // 2), wy // 2 + 1):
-        for dx in range(-(wx // 2), wx // 2 + 1):
-            ny = ty + dy
-            nx = tx + dx
-            ok = (ny >= 0) & (ny < nty) & (nx >= 0) & (nx < ntx)
-            neighbors.append(jnp.where(ok, ny * ntx + nx, n_tiles))
+    for dy in range(wy):
+        for dx in range(wx):
+            ny = by0 + dy
+            nx = bx0 + dx
+            ok = (ny >= 0) & (ny < nby) & (nx >= 0) & (nx < nbx)
+            neighbors.append(jnp.where(ok, ny * nbx + nx, n_bins))
     nb = jnp.stack(neighbors, axis=1)                       # (n_tiles, wy*wx)
     cand = table[nb]                                        # (n_tiles, wy*wx, K)
     return cand.reshape(n_tiles, -1)
@@ -144,10 +241,11 @@ def splat_population(pos, last_pos, vel, radius, color, active,
                      opts: RenderOptions):
     """Accumulated density canvas(es) for one population.
 
-    Returns ``(alpha, rgb_or_None)``: ``alpha`` is (S, S) screen-blend
-    accumulated gaussian density; ``rgb`` (S, S, 3) only when
+    Returns ``(alpha, rgb_or_None, n_overflow)``: ``alpha`` is (S, S)
+    screen-blend accumulated gaussian density; ``rgb`` (S, S, 3) only when
     ``opts.use_particle_color`` (the reference's experimental per-particle
-    color mode, test.lua:25).
+    color mode, test.lua:25); ``n_overflow`` counts on-canvas particles
+    dropped past the per-bin render budget.
     """
     s = opts.canvas_size
     th, tw = opts.tile_h, opts.tile_w
@@ -166,7 +264,7 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     base_scale = radius * texture_scale
     smear = 1.0 + speed * motion_blur                        # instanced_draw.glsl:25
 
-    table = _bin_particles_to_tiles(p_canvas, active, opts)  # (T+1, K)
+    table, overflow = _bin_particles(p_canvas, active, opts)
     cand_all = _tile_candidates(table, opts)                 # (T, W*K)
     n_cand = cand_all.shape[1]
 
@@ -243,12 +341,12 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     rgb = None
     if use_rgb:
         rgb = tiles_rgb.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4).reshape(s, s, 3)
-    return alpha, rgb
+    return alpha, rgb, overflow
 
 
 # ------------------------------------------------------- post-process passes --
 
-def _shift_bilinear(img, dx, dy):
+def _shift_bilinear(img, dx, dy, pad: int):
     """Shift a 2D image by a (possibly fractional) offset, zero-padded.
 
     Sampling ``tex(uv + offset)`` with linear filtering == shifting the image
@@ -257,20 +355,17 @@ def _shift_bilinear(img, dx, dy):
     # sample at (x + dx, y + dy): 4-tap bilinear mix of integer shifts
     fx, fy = jnp.floor(dx), jnp.floor(dy)
     ax, ay = dx - fx, dy - fy
-    return (roll0_dyn(img, fy.astype(jnp.int32), fx.astype(jnp.int32)) * (1 - ax) * (1 - ay)
-            + roll0_dyn(img, fy.astype(jnp.int32), fx.astype(jnp.int32) + 1) * ax * (1 - ay)
-            + roll0_dyn(img, fy.astype(jnp.int32) + 1, fx.astype(jnp.int32)) * (1 - ax) * ay
-            + roll0_dyn(img, fy.astype(jnp.int32) + 1, fx.astype(jnp.int32) + 1) * ax * ay)
+    iy, ix = fy.astype(jnp.int32), fx.astype(jnp.int32)
+    return (roll0_dyn(img, iy, ix, pad) * (1 - ax) * (1 - ay)
+            + roll0_dyn(img, iy, ix + 1, pad) * ax * (1 - ay)
+            + roll0_dyn(img, iy + 1, ix, pad) * (1 - ax) * ay
+            + roll0_dyn(img, iy + 1, ix + 1, pad) * ax * ay)
 
 
-_MAX_SHIFT = 16  # px; bounds outline thickness sampling
-
-
-def roll0_dyn(im, sy, sx):
-    """out[y, x] = im[y + sy, x + sx] with zero padding; |s| <= _MAX_SHIFT."""
-    p = _MAX_SHIFT
-    padded = jnp.pad(im, ((p, p), (p, p)))
-    return jax.lax.dynamic_slice(padded, (p + sy, p + sx), im.shape)
+def roll0_dyn(im, sy, sx, pad: int):
+    """out[y, x] = im[y + sy, x + sx] with zero padding; |s| <= pad."""
+    padded = jnp.pad(im, ((pad, pad), (pad, pad)))
+    return jax.lax.dynamic_slice(padded, (pad + sy, pad + sx), im.shape)
 
 
 _DIAG = float(np.sqrt(2.0) / 2.0)
@@ -281,18 +376,21 @@ _OUTLINE_DIRECTIONS = [(1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0),
 
 def outline_pass(alpha, outline_thickness, threshold, opts: RenderOptions):
     """Morphological 8-direction dilation + smoothstep edge
-    (simulation_handler_outline.glsl). Returns outline coverage in [0, 1]."""
+    (simulation_handler_outline.glsl). Returns outline coverage in [0, 1].
+
+    ``opts.max_outline_steps`` is sized to ``ceil(thickness) + 1`` on the
+    host (auto_render_options), so the full GLSL step count runs
+    (outline.glsl:14-15); masking handles the traced thickness changing
+    below the static bound."""
     max_alpha = jnp.zeros_like(alpha)
-    # steps = ceil(thickness) + 1, step_size = thickness / steps (glsl:14-15);
-    # static unroll to max_outline_steps with masking (thickness is traced)
     steps_f = jnp.ceil(outline_thickness) + 1.0
     step_size = outline_thickness / steps_f
     for step in range(1, opts.max_outline_steps + 1):
         use = jnp.float32(step) <= steps_f
         d = jnp.float32(step) * step_size
-        d = jnp.minimum(d, float(_MAX_SHIFT - 1))
+        d = jnp.minimum(d, float(opts.shift_pad - 1))
         for dx, dy in _OUTLINE_DIRECTIONS:
-            sampled = _shift_bilinear(alpha, d * dx, d * dy)
+            sampled = _shift_bilinear(alpha, d * dx, d * dy, opts.shift_pad)
             max_alpha = jnp.maximum(max_alpha, jnp.where(use, sampled, 0.0))
     max_alpha = jnp.minimum(max_alpha, 1.0)
 
@@ -382,54 +480,60 @@ def _src_over(dst_rgb, dst_a, src_rgb_premul, src_a):
 
 # ------------------------------------------------------------ orchestration --
 
-@functools.partial(jax.jit, static_argnames=("opts", "use_lighting", "vw", "vh"))
+@functools.partial(jax.jit, static_argnames=("opts2", "use_lighting", "vw", "vh"))
 def _render_frame(state, stats, cfg2, interpolation_alpha,
                   threshold, smoothness, viewport_origin,
-                  opts: RenderOptions, use_lighting: bool, vw: int, vh: int):
-    """Jitted full-frame render: both populations splatted, shaded, composited."""
+                  opts2: Tuple[RenderOptions, RenderOptions],
+                  use_lighting: bool, vw: int, vh: int):
+    """Jitted full-frame render: both populations splatted, shaded, composited.
+
+    ``opts2`` holds one (static) RenderOptions per population — canvases are
+    sized independently, like the reference's two AABB-grown canvases."""
     active = state.active_mask()
 
     centers = (stats.last_centroid
                + (stats.centroid - stats.last_centroid) * interpolation_alpha)
 
-    def pop_canvas(i):
+    def pop_canvas(i, opts):
         cfg = jax.tree.map(lambda a: a[i], cfg2)
-        alpha, rgb = splat_population(
+        alpha, rgb, overflow = splat_population(
             state.pos[i], state.last_pos[i], state.vel[i], state.radius[i],
             state.color[i], active[i], centers[i], interpolation_alpha,
             cfg.texture_scale, cfg.motion_blur, opts)
-        return render_population(alpha, rgb, cfg, threshold, smoothness,
-                                 use_lighting, opts), alpha
+        return (render_population(alpha, rgb, cfg, threshold, smoothness,
+                                  use_lighting, opts), alpha, overflow)
 
     screen_rgb = jnp.zeros((vh, vw, 3), jnp.float32)
     screen_a = jnp.zeros((vh, vw), jnp.float32)
     canvases = []
+    overflows = []
     for i in (0, 1):  # white first, then yolk (:2163-2171)
-        rgba, raw_alpha = pop_canvas(i)
+        rgba, raw_alpha, overflow = pop_canvas(i, opts2[i])
         canvases.append(raw_alpha)
+        overflows.append(overflow)
         # canvas top-left in viewport pixels (reference :2132-2133), rounded
-        corner = stats.centroid[i] - 0.5 * opts.canvas_size - viewport_origin
+        corner = stats.centroid[i] - 0.5 * opts2[i].canvas_size - viewport_origin
         cx = jnp.round(corner[0]).astype(jnp.int32)
         cy = jnp.round(corner[1]).astype(jnp.int32)
         screen_rgb, screen_a = _paste_src_over(screen_rgb, screen_a, rgba, cx, cy)
 
     frame = jnp.concatenate([screen_rgb, screen_a[..., None]], axis=-1)
-    return frame, jnp.stack(canvases)
+    return frame, tuple(canvases), jnp.stack(overflows)
 
 
 def _paste_src_over(dst_rgb, dst_a, src_rgba, x0, y0):
-    """Alpha-blend a canvas onto the screen at integer offset (x0, y0), clipped."""
+    """Alpha-blend a canvas onto the screen at integer offset (x0, y0), clipped.
+
+    Padding by the full viewport size on every side means the dynamic-slice
+    start never needs clamping while any part of the canvas overlaps the
+    viewport — partially off-screen canvases clip exactly (the clamp only
+    engages with zero overlap, where the slice lands in pure padding)."""
     vh, vw = dst_a.shape
     s = src_rgba.shape[0]
-    # shift the canvas into a viewport-sized buffer via padded dynamic_slice
-    pad_y, pad_x = s, s
-    src = jnp.pad(src_rgba, ((pad_y, pad_y + max(vh - s, 0)),
-                             (pad_x, pad_x + max(vw - s, 0)), (0, 0)))
-    start_y = jnp.clip(pad_y - y0, 0, src.shape[0] - vh)
-    start_x = jnp.clip(pad_x - x0, 0, src.shape[1] - vw)
+    src = jnp.pad(src_rgba, ((vh, vh), (vw, vw), (0, 0)))
+    start_y = jnp.clip(vh - y0, 0, src.shape[0] - vh)
+    start_x = jnp.clip(vw - x0, 0, src.shape[1] - vw)
     placed = jax.lax.dynamic_slice(src, (start_y, start_x, 0), (vh, vw, 4))
-    # when clipping clamps the start, the canvas lands shifted; acceptable for
-    # mostly-on-screen content (reference clips identically at screen edges)
     src_a = jnp.clip(placed[..., 3], 0.0, 1.0)
     src_rgb = placed[..., :3]
     out_rgb = src_rgb * src_a[..., None] + dst_rgb * (1.0 - src_a[..., None])
@@ -437,26 +541,50 @@ def _paste_src_over(dst_rgb, dst_a, src_rgba, x0, y0):
     return out_rgb, out_a
 
 
-def draw(handler, viewport=None, background=None):
+def draw(handler, viewport=None, background=None, check_overflow=False):
     """Render the handler's current state to an (H, W, 4) straight-alpha image.
 
     ``viewport=(x, y, w, h)`` in world pixels. ``background`` optionally an
-    (r, g, b, a) tuple composited under everything.
+    (r, g, b, a) tuple composited under everything. ``check_overflow=True``
+    forces a host read of the per-bin render-budget overflow counters and
+    warns when particles were dropped (costs one device sync).
     """
     if viewport is None:
         viewport = (0.0, 0.0, 800, 600)
     x, y, w, h = viewport
-    opts = RenderOptions(canvas_size=handler._canvas_size,
-                         use_particle_color=handler._use_particle_color)
+
+    stats = handler.stats
+    opts = []
+    for i, cfg in ((0, handler._white_config), (1, handler._yolk_config)):
+        if handler._canvas_size is not None:
+            bucket = int(handler._canvas_size)
+        else:
+            aabb_min = np.asarray(stats.aabb_min[i])
+            aabb_max = np.asarray(stats.aabb_max[i])
+            bucket = pick_canvas_bucket(
+                aabb_min, aabb_max,
+                cfg["max_radius"] * cfg["texture_scale"],
+                float(stats.max_velocity[i]), cfg["motion_blur"], None)
+        opts.append(auto_render_options(
+            cfg, bucket, use_particle_color=handler._use_particle_color))
+    opts2 = tuple(opts)
+
     cfg2 = handler._device_cfg2()
-    frame, canvases = _render_frame(
-        handler.state, handler.stats, cfg2,
+    frame, canvases, overflows = _render_frame(
+        handler.state, stats, cfg2,
         jnp.float32(handler.interpolation_alpha),
         jnp.float32(handler._thresholding_threshold),
         jnp.float32(handler._thresholding_smoothness),
         jnp.asarray([x, y], jnp.float32),
-        opts, bool(handler._use_lighting), int(w), int(h))
+        opts2, bool(handler._use_lighting), int(w), int(h))
     handler._canvases = canvases
+    if check_overflow:
+        counts = np.asarray(overflows)
+        if counts.sum() > 0:
+            from ..utils import log
+            log.warning("render budget overflow: dropped ", int(counts[0]),
+                        " white / ", int(counts[1]), " yolk particles past "
+                        "tile_capacity; increase tile_capacity or canvas size")
     if background is not None:
         bg = jnp.asarray(background, jnp.float32)
         a = frame[..., 3:4]

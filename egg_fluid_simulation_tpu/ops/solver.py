@@ -424,9 +424,13 @@ def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active,
     lanes = g * k
     cell_size, params = _dense_params(cfg, active, collision_compliance,
                                       cohesion_compliance, options)
+    from .pallas import place_kernel
     binning = dense_ops.bin_to_planes(
         pos, inv_mass, radius, batch_slot, active, cell_size,
-        grid_dim=g, slots_per_cell=k)
+        grid_dim=g, slots_per_cell=k,
+        use_placement=(options.use_pallas
+                       and options.budget_mode != "ordered"
+                       and place_kernel.on_tpu()))
     if options.budget_mode == "ordered":
         binning = _dense_add_cum(binning, k, options.use_pallas)
 
@@ -460,17 +464,20 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
     invariant automatically; only the sweep correction (computed for real
     rows) requires a halo refresh.
     """
-    from .pallas import sweep_kernel
+    from .pallas import place_kernel, sweep_kernel
     rp = dense_ops.ROW_PAD
     lanes = g * k
     cohesion = options.cohesion_mode == "spacing"
     ordered = options.budget_mode == "ordered"
+    use_placement = (options.use_pallas and not ordered
+                     and place_kernel.on_tpu())
 
     aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
                           tx, ty, td], axis=1)
     binning = dense_ops.bin_to_planes(
         pos, inv_mass, radius, batch_slot, act, cell_size,
-        grid_dim=g, slots_per_cell=k, aux_cols=aux_cols)
+        grid_dim=g, slots_per_cell=k, aux_cols=aux_cols,
+        use_placement=use_placement)
     if ordered:
         binning = _dense_add_cum(binning, k, options.use_pallas)
     planes, aux = binning.planes, binning.aux

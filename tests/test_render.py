@@ -31,7 +31,7 @@ def _splat_one(pos, vel=(0.0, 0.0), radius=4.0, texture_scale=12.0,
     c = jnp.concatenate([jnp.ones((n, 3)), jnp.full((n, 1), alpha)], axis=1)
     act = jnp.ones((n,), bool)
     center = jnp.asarray([canvas / 2.0, canvas / 2.0], jnp.float32)
-    out, _ = R.splat_population(p, p, v, r, c, act, center, jnp.float32(1.0),
+    out, _, _ = R.splat_population(p, p, v, r, c, act, center, jnp.float32(1.0),
                                 jnp.float32(texture_scale),
                                 jnp.float32(motion_blur), opts)
     return np.asarray(out)
@@ -181,7 +181,7 @@ def test_use_particle_color_rgb_accumulation():
     c = jnp.asarray([[1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 1.0]], jnp.float32)
     act = jnp.ones((n,), bool)
     center = jnp.asarray([64.0, 64.0], jnp.float32)
-    alpha, rgb = R.splat_population(p, p, v, r, c, act, center, jnp.float32(1.0),
+    alpha, rgb, _ = R.splat_population(p, p, v, r, c, act, center, jnp.float32(1.0),
                                     jnp.float32(12.0), jnp.float32(0.0), opts)
     assert rgb is not None and rgb.shape == (128, 128, 3)
     g = np.exp(-GAUSS * (0.5 ** 2 + 0.5 ** 2) / 48.0 ** 2)

@@ -43,3 +43,27 @@ def test_count_kernel_matches_jnp_model(binning):
     ref = D.count_planes_jnp(binning.planes, 4)
     got = K._count_pallas(binning.planes, 4, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_placement_kernel_matches_scatter_path():
+    """The one-hot-matmul placement (place_kernel) must reproduce the
+    scatter+gather plane build bit-for-bit, including aux fields and the
+    torus halo rows."""
+    n, g, k = 700, 32, 4
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(-100, 400, (n, 2)), jnp.float32)
+    inv_mass = jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32)
+    radius = jnp.full((n,), 4.0)
+    batch = jnp.asarray(rng.integers(0, 3, (n,)), jnp.int32)
+    active = jnp.asarray(rng.random(n) < 0.9)
+    aux = jnp.asarray(rng.normal(size=(n, 7)), jnp.float32)
+
+    ref = D.bin_to_planes(pos, inv_mass, radius, batch, active,
+                          jnp.float32(8.0), grid_dim=g, slots_per_cell=k,
+                          aux_cols=aux)
+    got = D.bin_to_planes(pos, inv_mass, radius, batch, active,
+                          jnp.float32(8.0), grid_dim=g, slots_per_cell=k,
+                          aux_cols=aux, use_placement=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.planes), np.asarray(ref.planes))
+    np.testing.assert_array_equal(np.asarray(got.aux), np.asarray(ref.aux))
+    np.testing.assert_array_equal(np.asarray(got.slot), np.asarray(ref.slot))
