@@ -183,6 +183,16 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
     rows = g + 2 * ROW_PAD
     if use_placement:
         from .pallas import place_kernel
+        # The placement kernel requires GLOBALLY ascending slots (its window
+        # starts come from a binary search). Cell-id order alone does not give
+        # that: entries past the per-cell cap (rank >= k) carry the sentinel
+        # slot g*lanes *interleaved* mid-array wherever their cell sits, which
+        # both breaks the search and lets a single crowded cell blow the
+        # bounded DMA-window span. Compact them to the tail with a second
+        # key-value sort (~2.8 ms at 1M on v5e; in-range slots are unique so
+        # the order is exact).
+        slot_sorted, pidx_sorted = jax.lax.sort_key_val(slot_sorted,
+                                                        pidx_sorted)
         pack_sorted = pack[pidx_sorted]                    # (N, F) sorted rows
         all_planes = place_kernel.place_planes(slot_sorted, pack_sorted, g, k,
                                                interpret=interpret)

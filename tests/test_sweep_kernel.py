@@ -67,3 +67,33 @@ def test_placement_kernel_matches_scatter_path():
     np.testing.assert_array_equal(np.asarray(got.planes), np.asarray(ref.planes))
     np.testing.assert_array_equal(np.asarray(got.aux), np.asarray(ref.aux))
     np.testing.assert_array_equal(np.asarray(got.slot), np.asarray(ref.slot))
+
+
+def test_placement_kernel_with_cell_overflow():
+    """Crowded cells (rank >= k) must not corrupt placement.
+
+    Overflow entries carry the sentinel slot interleaved mid-array in cell-id
+    order; without the tail-compaction sort the kernel's binary-searched
+    window starts are computed over a non-sorted array and entries are
+    silently dropped (observed on hardware at 20k particles / 64^2 cells).
+    This pins the regression: ~5x more particles than grid slots, plus one
+    pathological cell holding ~10% of all particles."""
+    n, g, k = 5000, 32, 4
+    rng = np.random.default_rng(11)
+    xy = rng.uniform(-100, 400, (n, 2))
+    xy[:500] = rng.uniform(0, 7.9, (500, 2))          # one crowded cell
+    pos = jnp.asarray(xy, jnp.float32)
+    inv_mass = jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32)
+    radius = jnp.full((n,), 4.0)
+    batch = jnp.asarray(rng.integers(0, 3, (n,)), jnp.int32)
+    active = jnp.asarray(rng.random(n) < 0.9)
+    aux = jnp.asarray(rng.normal(size=(n, 7)), jnp.float32)
+
+    ref = D.bin_to_planes(pos, inv_mass, radius, batch, active,
+                          jnp.float32(8.0), grid_dim=g, slots_per_cell=k,
+                          aux_cols=aux)
+    got = D.bin_to_planes(pos, inv_mass, radius, batch, active,
+                          jnp.float32(8.0), grid_dim=g, slots_per_cell=k,
+                          aux_cols=aux, use_placement=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.planes), np.asarray(ref.planes))
+    np.testing.assert_array_equal(np.asarray(got.aux), np.asarray(ref.aux))
