@@ -55,7 +55,8 @@ import numpy as np
 from ..utils.mathx import EPS
 
 __all__ = ["RenderOptions", "CANVAS_BUCKETS", "splat_population",
-           "outline_pass", "lighting_pass", "render_population", "draw"]
+           "outline_pass", "lighting_pass", "render_population", "draw",
+           "frame_options"]
 
 _GAUSS_COEFF = 4.0 * np.pi / 3.0  # particle_texture.glsl:8
 
@@ -65,8 +66,16 @@ CANVAS_BUCKETS = (256, 512, 1024, 2048, 2560)
 
 @dataclass(frozen=True)
 class RenderOptions:
-    """Static render configuration (one per population per draw)."""
-    canvas_size: int = 512        # px, square canvas
+    """Static render configuration (one per population per draw).
+
+    ``downsample`` evaluates the gaussian splat accumulation at
+    ``canvas_size / downsample`` resolution and bilinearly upsamples the
+    accumulated alpha — the analog of the reference sampling its
+    limited-resolution pre-rendered gaussian texture with linear filtering
+    (``texture_resolution_factor``, simulation_handler.lua:455, :644-645).
+    Tile/bin dims and ``max_splat_px`` are in EFFECTIVE (downsampled) pixels.
+    """
+    canvas_size: int = 512        # px, square canvas (full resolution)
     tile_h: int = 32              # evaluation tile height (sublane-friendly)
     tile_w: int = 128             # evaluation tile width (lane-aligned)
     bin_h: int = 32               # candidate bin height (<= tile_h)
@@ -75,11 +84,18 @@ class RenderOptions:
     tile_capacity: int = 64       # max particles per candidate bin (budget)
     max_outline_steps: int = 8    # outline dilation samples: ceil(thick)+1
     shift_pad: int = 16           # outline sampling reach bound (px)
+    downsample: int = 1           # splat evaluation resolution divisor
     use_particle_color: bool = False
 
+    @property
+    def eff_size(self) -> int:
+        return self.canvas_size // self.downsample
+
     def __post_init__(self):
-        assert self.canvas_size % self.tile_h == 0
-        assert self.canvas_size % self.tile_w == 0
+        assert self.canvas_size % self.downsample == 0
+        eff = self.canvas_size // self.downsample
+        assert eff % self.tile_h == 0
+        assert eff % self.tile_w == 0
         assert self.tile_h % self.bin_h == 0
         assert self.tile_w % self.bin_w == 0
 
@@ -99,8 +115,17 @@ def auto_render_options(config: dict, canvas_size: int,
     - outline sampling: ``ceil(thickness) + 1`` steps exactly like the GLSL
       (simulation_handler_outline.glsl:14-15), reach-bounded pad.
     """
-    splat = max(4, min(64, int(math.ceil(config["max_radius"]
-                                         * config["texture_scale"]))))
+    splat_full = max(4, min(64, int(math.ceil(config["max_radius"]
+                                              * config["texture_scale"]))))
+
+    # splat evaluation resolution: large soft gaussians carry no detail below
+    # ~1/12 of their reach, so evaluate them coarse and upsample (the
+    # reference's own texture has finite resolution, :455, :626-635)
+    ds = 1
+    while ds < 4 and splat_full // (2 * ds) >= 12 and canvas_size % (2 * ds) == 0:
+        ds *= 2
+    splat = max(4, -(-splat_full // ds))                 # effective px
+    eff = canvas_size // ds
 
     def pow2_clamp(v, lo, hi):
         p = lo
@@ -108,14 +133,14 @@ def auto_render_options(config: dict, canvas_size: int,
             p *= 2
         return p
 
-    bin_h = pow2_clamp(max(splat // 2, 8), 8, min(32, canvas_size))
-    bin_w = pow2_clamp(max(splat, 16), 16, min(128, canvas_size))
+    bin_h = pow2_clamp(max(splat // 2, 8), 8, min(32, eff))
+    bin_w = pow2_clamp(max(splat, 16), 16, min(128, eff))
     tile_h = 32 if splat >= 32 else 8
-    tile_h = min(tile_h, canvas_size)
+    tile_h = min(tile_h, eff)
     tile_h = max(tile_h, bin_h)
-    tile_w = min(128, canvas_size)
+    tile_w = min(128, eff)
 
-    spacing = 2.0 * config["collision_overlap_factor"] * config["min_radius"]
+    spacing = 2.0 * config["collision_overlap_factor"] * config["min_radius"] / ds
     density = 1.0 / max(spacing * spacing * 0.72, 1.0)   # hex-ish packing
     k = int(math.ceil(bin_h * bin_w * density * 3.0 / 8.0)) * 8
     k = max(16, min(256, k))
@@ -132,7 +157,7 @@ def auto_render_options(config: dict, canvas_size: int,
     return RenderOptions(canvas_size=canvas_size, tile_h=tile_h, tile_w=tile_w,
                          bin_h=bin_h, bin_w=bin_w, max_splat_px=splat,
                          tile_capacity=k, max_outline_steps=steps,
-                         shift_pad=shift_pad,
+                         shift_pad=shift_pad, downsample=ds,
                          use_particle_color=use_particle_color)
 
 
@@ -172,7 +197,7 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     off-canvas particles, never read) and the count of on-canvas particles
     dropped past the per-bin budget.
     """
-    s, bh, bw, e = opts.canvas_size, opts.bin_h, opts.bin_w, opts.max_splat_px
+    s, bh, bw, e = opts.eff_size, opts.bin_h, opts.bin_w, opts.max_splat_px
     nby, nbx = s // bh, s // bw
     n_bins = nby * nbx
 
@@ -201,13 +226,14 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     return table[:(n_bins + 1) * k].reshape(n_bins + 1, k), overflow
 
 
-def _tile_candidates(table, opts: RenderOptions):
-    """(n_tiles, n_window_bins*K) candidate particle ids per evaluation tile.
+def _tile_bins(opts: RenderOptions):
+    """(n_tiles, n_window_bins) bin ids per evaluation tile (static).
 
     The window is every bin intersecting the tile dilated by the splat
     reach — bins are footprint-sized (auto_render_options), so candidates
-    stay local to the tile."""
-    s, th, tw = opts.canvas_size, opts.tile_h, opts.tile_w
+    stay local to the tile. Out-of-canvas window positions point at the
+    always-empty bin ``n_bins``."""
+    s, th, tw = opts.eff_size, opts.tile_h, opts.tile_w
     bh, bw, e = opts.bin_h, opts.bin_w, opts.max_splat_px
     nty, ntx = s // th, s // tw
     nby, nbx = s // bh, s // bw
@@ -230,9 +256,7 @@ def _tile_candidates(table, opts: RenderOptions):
             nx = bx0 + dx
             ok = (ny >= 0) & (ny < nby) & (nx >= 0) & (nx < nbx)
             neighbors.append(jnp.where(ok, ny * nbx + nx, n_bins))
-    nb = jnp.stack(neighbors, axis=1)                       # (n_tiles, wy*wx)
-    cand = table[nb]                                        # (n_tiles, wy*wx, K)
-    return cand.reshape(n_tiles, -1)
+    return jnp.stack(neighbors, axis=1)                     # (n_tiles, wy*wx)
 
 
 def splat_population(pos, last_pos, vel, radius, color, active,
@@ -247,71 +271,74 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     color mode, test.lua:25); ``n_overflow`` counts on-canvas particles
     dropped past the per-bin render budget.
     """
-    s = opts.canvas_size
+    s_full = opts.canvas_size
+    ds = float(opts.downsample)
+    s = opts.eff_size
     th, tw = opts.tile_h, opts.tile_w
     nty, ntx = s // th, s // tw
+    k = opts.tile_capacity
 
     # frame interpolation (instanced_draw.glsl:40) and canvas placement:
-    # canvas pixel (0,0) sits at canvas_center - S/2 (reference :2090, :2060)
+    # canvas pixel (0,0) sits at canvas_center - S/2 (reference :2090, :2060).
+    # All geometry below is in EFFECTIVE (downsampled) canvas pixels.
     p_world = last_pos + (pos - last_pos) * interpolation_alpha
-    origin = canvas_center - 0.5 * s
-    p_canvas = p_world - origin
+    origin = canvas_center - 0.5 * s_full
+    p_canvas = (p_world - origin) / ds
 
     speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
     inv_speed = 1.0 / jnp.maximum(speed, EPS)
     cos_a = jnp.where(speed > EPS, vel[:, 0] * inv_speed, 1.0)
     sin_a = jnp.where(speed > EPS, vel[:, 1] * inv_speed, 0.0)
-    base_scale = radius * texture_scale
+    base_scale = radius * texture_scale / ds
     smear = 1.0 + speed * motion_blur                        # instanced_draw.glsl:25
 
-    table, overflow = _bin_particles(p_canvas, active, opts)
-    cand_all = _tile_candidates(table, opts)                 # (T, W*K)
-    n_cand = cand_all.shape[1]
+    table, overflow = _bin_particles(p_canvas, active, opts)  # (n_bins+1, K)
 
-    # per-candidate packed parameters
+    # Bin-resident payload: ONE (n_bins+1)*K row gather packs every
+    # per-candidate parameter; the per-tile windows below then slice rows of
+    # this table instead of issuing ~10 element gathers per candidate (which
+    # dominated the pass: ~90 ms at 2560^2 / 65k particles).
     a_p = jnp.where(active, color[:, 3], 0.0)
     inv_sx = 1.0 / jnp.maximum(base_scale * smear, EPS)      # stretched axis
     inv_sy = 1.0 / jnp.maximum(base_scale, EPS)
+    use_rgb = opts.use_particle_color
+    cols = [p_canvas[:, 0], p_canvas[:, 1], cos_a, sin_a,
+            base_scale, base_scale * smear, inv_sx, inv_sy, a_p]
+    if use_rgb:
+        cols += [color[:, 0], color[:, 1], color[:, 2]]
+    pack = jnp.stack(cols, axis=1)                           # (N, F)
+    n_f = pack.shape[1]
+    occupied = table >= 0
+    payload = pack[jnp.maximum(table, 0)]                    # (n_bins+1, K, F)
+    payload = jnp.where(occupied[..., None], payload, 0.0)   # ap=0, extent=0
 
-    tile_ids = jnp.arange(nty * ntx, dtype=jnp.int32)
+    nb = _tile_bins(opts)                                    # (T, W) bin ids
+    n_tiles, w_bins = nb.shape
+    n_cand = w_bins * k
+
     py_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
     px_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
 
-    use_rgb = opts.use_particle_color
-
-    chunk = 32
+    chunk = min(32, n_cand)
     n_chunks = -(-n_cand // chunk)
-    pad = n_chunks * chunk - n_cand
+    cpad = n_chunks * chunk - n_cand
 
-    def render_tile(tile_id):
+    def render_tile(tile_id, cand_payload):
+        """cand_payload: (W*K, F) pre-gathered window parameters."""
         ty = tile_id // ntx
         tx = tile_id % ntx
         px = px_grid + (tx * tw).astype(jnp.float32)         # (th, tw)
         py = py_grid + (ty * th).astype(jnp.float32)
-        cand = cand_all[tile_id]                             # (W*K,)
-        if pad:
-            cand = jnp.concatenate([cand, jnp.full((pad,), -1, jnp.int32)])
-        valid = cand >= 0
-        i = jnp.maximum(cand, 0)
-        # gather all candidate params up front, then sweep in vector chunks
-        pcx, pcy = p_canvas[i, 0], p_canvas[i, 1]
-        ca, sa = cos_a[i], sin_a[i]
-        bs = base_scale[i]
-        bs_sm = bs * smear[i]
-        isx, isy = inv_sx[i], inv_sy[i]
-        ap = jnp.where(valid, a_p[i], 0.0)
-        crgb = color[i, :3]
-
-        def resh(v):
-            return v.reshape(n_chunks, chunk)
-
-        pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap = map(
-            resh, (pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap))
-        crgb = crgb.reshape(n_chunks, chunk, 3)
+        if cpad:
+            cand_payload = jnp.concatenate(
+                [cand_payload, jnp.zeros((cpad, n_f), jnp.float32)])
+        cp = cand_payload.reshape(n_chunks, chunk, n_f)
 
         def body(carry, xs):
             acc_a, acc_rgb = carry
-            pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap, crgb = xs
+            pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap = (
+                xs[..., 0], xs[..., 1], xs[..., 2], xs[..., 3], xs[..., 4],
+                xs[..., 5], xs[..., 6], xs[..., 7], xs[..., 8])
             dx = px[..., None] - pcx                         # (th, tw, C)
             dy = py[..., None] - pcy
             # rotate into the velocity frame (instanced_draw.glsl:27-35)
@@ -320,27 +347,49 @@ def splat_population(pos, last_pos, vel, radius, color, active,
             nx = d_par * isx
             ny = d_perp * isy
             r2 = nx * nx + ny * ny
-            # quad extent + static splat cap (texture clampzero analog)
+            # quad extent + static splat cap (texture clampzero analog);
+            # empty slots have bs == 0 so `inside` is identically False
             inside = ((jnp.abs(d_par) <= bs_sm) & (jnp.abs(d_perp) <= bs)
                       & (jnp.abs(dx) <= opts.max_splat_px)
                       & (jnp.abs(dy) <= opts.max_splat_px))
             g = jnp.where(inside, jnp.exp(-_GAUSS_COEFF * r2) * ap, 0.0)
             acc_a = acc_a * jnp.prod(1.0 - g, axis=-1)       # screen blend
             if use_rgb:
+                crgb = xs[..., 9:12]
                 acc_rgb = acc_rgb * jnp.prod(1.0 - g[..., None] * crgb, axis=-2)
             return (acc_a, acc_rgb), None
 
         init_rgb = jnp.ones((th, tw, 3), jnp.float32) if use_rgb else jnp.zeros((1,))
         (acc_a, acc_rgb), _ = jax.lax.scan(
-            body, (jnp.ones((th, tw), jnp.float32), init_rgb),
-            (pcx, pcy, ca, sa, bs, bs_sm, isx, isy, ap, crgb))
+            body, (jnp.ones((th, tw), jnp.float32), init_rgb), cp)
         return 1.0 - acc_a, (1.0 - acc_rgb if use_rgb else acc_rgb)
 
-    tiles_a, tiles_rgb = jax.lax.map(render_tile, tile_ids)
+    # Tiles run in vmapped groups: a plain lax.map would process one (th, tw)
+    # tile per sequential scan iteration (dispatch-bound, ~30x slower at
+    # 2560^2). Group size bounds the live (TC, th, tw, chunk) intermediate.
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tc = max(1, min(n_tiles, (32 << 20) // (th * tw * chunk * 4)))
+    n_groups = -(-n_tiles // tc)
+    tpad = n_groups * tc - n_tiles
+    tile_ids_p = jnp.pad(tile_ids, (0, tpad)).reshape(n_groups, tc)
+    flat_payload = payload.reshape(-1, k * n_f)              # (n_bins+1, K*F)
+
+    def render_group(ids):
+        windows = flat_payload[nb[ids]]                      # (TC, W, K*F) rows
+        windows = windows.reshape(ids.shape[0], n_cand, n_f)
+        return jax.vmap(render_tile)(ids, windows)
+
+    tiles_a, tiles_rgb = jax.lax.map(render_group, tile_ids_p)
+    tiles_a = tiles_a.reshape(n_groups * tc, th, tw)[:n_tiles]
     alpha = tiles_a.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(s, s)
     rgb = None
     if use_rgb:
+        tiles_rgb = tiles_rgb.reshape(n_groups * tc, th, tw, 3)[:n_tiles]
         rgb = tiles_rgb.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4).reshape(s, s, 3)
+    if opts.downsample > 1:
+        alpha = jax.image.resize(alpha, (s_full, s_full), "linear")
+        if use_rgb:
+            rgb = jax.image.resize(rgb, (s_full, s_full, 3), "linear")
     return alpha, rgb, overflow
 
 
@@ -541,18 +590,12 @@ def _paste_src_over(dst_rgb, dst_a, src_rgba, x0, y0):
     return out_rgb, out_a
 
 
-def draw(handler, viewport=None, background=None, check_overflow=False):
-    """Render the handler's current state to an (H, W, 4) straight-alpha image.
+def frame_options(handler) -> Tuple[RenderOptions, RenderOptions]:
+    """Static per-population RenderOptions for the handler's CURRENT state.
 
-    ``viewport=(x, y, w, h)`` in world pixels. ``background`` optionally an
-    (r, g, b, a) tuple composited under everything. ``check_overflow=True``
-    forces a host read of the per-bin render-budget overflow counters and
-    warns when particles were dropped (costs one device sync).
-    """
-    if viewport is None:
-        viewport = (0.0, 0.0, 800, 600)
-    x, y, w, h = viewport
-
+    Canvas buckets are chosen on the host from the latest step stats (AABB +
+    velocity padding, reference :1944-1954); also used by benchmarks to
+    freeze options for a fully device-resident step+render loop."""
     stats = handler.stats
     opts = []
     for i, cfg in ((0, handler._white_config), (1, handler._yolk_config)):
@@ -567,11 +610,26 @@ def draw(handler, viewport=None, background=None, check_overflow=False):
                 float(stats.max_velocity[i]), cfg["motion_blur"], None)
         opts.append(auto_render_options(
             cfg, bucket, use_particle_color=handler._use_particle_color))
-    opts2 = tuple(opts)
+    return tuple(opts)
+
+
+def draw(handler, viewport=None, background=None, check_overflow=False):
+    """Render the handler's current state to an (H, W, 4) straight-alpha image.
+
+    ``viewport=(x, y, w, h)`` in world pixels. ``background`` optionally an
+    (r, g, b, a) tuple composited under everything. ``check_overflow=True``
+    forces a host read of the per-bin render-budget overflow counters and
+    warns when particles were dropped (costs one device sync).
+    """
+    if viewport is None:
+        viewport = (0.0, 0.0, 800, 600)
+    x, y, w, h = viewport
+
+    opts2 = frame_options(handler)
 
     cfg2 = handler._device_cfg2()
     frame, canvases, overflows = _render_frame(
-        handler.state, stats, cfg2,
+        handler.state, handler.stats, cfg2,
         jnp.float32(handler.interpolation_alpha),
         jnp.float32(handler._thresholding_threshold),
         jnp.float32(handler._thresholding_smoothness),

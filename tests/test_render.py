@@ -223,3 +223,45 @@ def test_draw_frame_cache_invalidation():
     h.set_white_color(bid, 0.1, 0.2, 0.3)
     f5 = h.draw(viewport=(0.0, 0.0, 128, 128))
     assert f5 is not f4  # recolor invalidates
+
+
+def test_downsampled_splat_matches_full_resolution():
+    """A coarse-evaluated + bilinearly upsampled splat stays close to the
+    full-resolution evaluation (the reference itself samples a finite-
+    resolution gaussian texture with linear filtering, :644-645)."""
+    rng = np.random.default_rng(3)
+    n = 60
+    positions = rng.uniform(80, 176, (n, 2)).astype(np.float32)
+    p = jnp.asarray(positions)
+    v = jnp.zeros((n, 2), jnp.float32)
+    r = jnp.full((n,), 4.0, jnp.float32)
+    c = jnp.concatenate([jnp.ones((n, 3)), jnp.full((n, 1), 0.8)], axis=1)
+    act = jnp.ones((n,), bool)
+    center = jnp.asarray([128.0, 128.0], jnp.float32)
+
+    def run(ds):
+        opts = R.RenderOptions(canvas_size=256, downsample=ds,
+                               max_splat_px=-(-48 // ds),
+                               tile_h=8, tile_w=min(128, 256 // ds),
+                               bin_h=8, bin_w=16, tile_capacity=64)
+        out, _, _ = R.splat_population(p, p, v, r, c, act, center,
+                                       jnp.float32(1.0), jnp.float32(12.0),
+                                       jnp.float32(0.0), opts)
+        return np.asarray(out)
+
+    full = run(1)
+    coarse = run(4)
+    # interior agreement: the gaussian has ~13px bandwidth, so a 4x coarse
+    # grid reconstructs it to a few percent
+    assert np.abs(full - coarse).max() < 0.06
+    assert np.abs(full - coarse).mean() < 0.005
+
+
+def test_auto_options_pick_downsample_for_big_splats():
+    cfg = {"max_radius": 16.0, "texture_scale": 3.0, "min_radius": 4.0,
+           "collision_overlap_factor": 1.0, "outline_thickness": 2.0}
+    o = R.auto_render_options(cfg, 2048)
+    assert o.downsample == 4 and o.max_splat_px == 12
+    cfg_small = dict(cfg, max_radius=3.0, texture_scale=2.0)
+    o2 = R.auto_render_options(cfg_small, 2048)
+    assert o2.downsample == 1
