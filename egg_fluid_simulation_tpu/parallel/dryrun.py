@@ -63,6 +63,35 @@ def main(n_devices: int) -> None:
           f"(platform={jax.default_backend()}), matches single-chip, "
           f"centroid={np.asarray(stats.centroid)[0].round(2).tolist()}")
 
+    # ---- 2D spatial decomposition (dense engine, halo exchange) ----
+    from egg_fluid_simulation_tpu.parallel import spatial as S
+
+    db, dx = (2, 2) if n_devices >= 4 else (2, 1)
+    lay = S.SpatialLayout(grid_dim=32, slots_per_cell=4, db=db, dx=dx,
+                          migrate_cap=32)
+    sp_opts = SolverOptions(engine="dense", budget_mode="off",
+                            dense_rebin="step", dense_grid_dim=32,
+                            dense_slots=4, use_pallas=False)
+    h2 = _tiny_handler(capacity=capacity, engine="dense")
+    cell_sizes = []
+    for cfg in (h2._white_config, h2._yolk_config):
+        f = max(cfg["collision_overlap_factor"],
+                cfg["cohesion_interaction_distance_factor"])
+        cell_sizes.append(max(1.0, cfg["max_radius"] * f))
+    sp_mesh = S.make_spatial_mesh(db, dx, devices[:db * dx])
+    sp_state = S.redistribute(h2.state, cell_sizes, lay, sp_mesh)
+    sp_step = S.spatial_step(sp_mesh, lay, sp_opts)
+    sp_state, sp_stats, info = sp_step(sp_state, h2._device_cfg2(), dt, relax)
+    jax.block_until_ready(sp_state.pos)
+    assert np.isfinite(np.asarray(sp_state.pos)).all()
+    ref2, ref2_stats = solver_ops.step(h2.state, h2._device_cfg2(), dt, relax,
+                                       sp_opts)
+    np.testing.assert_allclose(np.asarray(sp_stats.centroid),
+                               np.asarray(ref2_stats.centroid),
+                               rtol=1e-4, atol=1e-3)
+    print(f"dryrun_multichip: ({db}x{dx})-mesh 2D spatial dense step OK, "
+          f"halo exchange + migration, centroid matches single-chip")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -262,10 +262,9 @@ def sharded_step(mesh: Mesh, options: SolverOptions):
         aabb_min=P(), aabb_max=P(), centroid=P(), last_centroid=P(),
         max_radius=P(), max_velocity=P(), batch_pos_sum=P(), batch_count=P())
 
-    from jax.experimental.shard_map import shard_map
-    fn = shard_map(
+    from ._compat import shard_map_compat
+    fn = shard_map_compat(
         _shard_body, mesh=mesh,
         in_specs=(state_specs, cfg_specs, P(), P()),
-        out_specs=(state_specs, stats_specs),
-        check_rep=False)
+        out_specs=(state_specs, stats_specs))
     return jax.jit(fn)

@@ -1,0 +1,607 @@
+"""2D spatial domain decomposition of the dense engine over a device mesh.
+
+The second rung of the scaling ladder (SURVEY.md §5 "distributed comm
+backend", §7 step 8). The 1D particle-sharded step (parallel/sharding.py)
+all-gathers every particle per collision pass — O(total) bytes per device.
+This module shards *space* instead: the dense engine's torus cell grid
+(ops/dense.py) is cut into a ``(bands, blocks)`` mesh — bands split grid
+rows (y), blocks split lane groups (x) — and every collective moves only
+O(boundary) bytes over ICI:
+
+- **Halo exchange.** Each device bins its particles into a local plane
+  tensor holding its own ``Gb x Lb`` cell window plus ``ROW_PAD`` halo rows
+  and ``2K`` halo lanes. Halos are filled with ``ppermute`` ring shifts
+  along each mesh axis (rows first, then lanes — the second pass carries the
+  corners). On a 1-device axis the ring shift degenerates to a self-copy,
+  which IS the single-chip torus wrap (ops/dense.py ``fill_halo``).
+- **Plane-resident substeps.** The whole substep pipeline (damped
+  integration, follow constraint, Jacobi pair sweep, velocity update) runs
+  in the local plane layout exactly like the single-chip dense path
+  (ops/solver.py ``_plane_substeps``); only the X/Y field halos are
+  re-exchanged after each collision pass's correction.
+- **Ring migration.** Ownership follows the torus cell: after the step each
+  particle's destination device is recomputed, and movers ride fixed-size
+  ``ppermute`` buffers one mesh hop per step (y first, then x, so received
+  particles can continue along x immediately; diagonal moves take the two
+  phases of the same step). Particles still in transit — or beyond the
+  per-step buffer budget — integrate without collision until they arrive,
+  exactly like reference particles past the collision-budget cutoff
+  (/root/reference/simulation_handler.lua:1656-1658). Free-slot overflow is
+  counted and reported so the host can trigger a full redistribute.
+
+The layout invariant: device ``(b, x)`` (mesh-linearized slice ``b*Dx + x``
+of the particle axis) holds only particles whose torus cell lies in its
+window, padded with inactive slots (``batch_slot < 0``). Use
+:func:`redistribute` to (re-)establish the invariant from any state.
+
+The sweep here uses the jnp plane sweep (golden model of the Pallas kernel);
+shard-local Pallas variants need lane-halo-aligned shapes and are a later
+optimization. Capability parity: the reference has no distribution of any
+kind (SURVEY.md §2) — this subsystem is TPU-native added capability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DeviceConfig
+from ..state import ParticleState, StepStats
+from ..utils.mathx import EPS, jnp_mix
+from ..ops import dense as dense_ops
+from ..ops import solver as solver_ops
+from ..ops.solver import SolverOptions
+
+__all__ = ["SpatialLayout", "make_spatial_mesh", "spatial_step",
+           "redistribute", "owner_of"]
+
+BANDS = "bands"
+BLOCKS = "blocks"
+RP = dense_ops.ROW_PAD
+
+
+class SpatialLayout(NamedTuple):
+    """Static decomposition geometry."""
+    grid_dim: int          # G: torus cells per axis (shared by both pops here)
+    slots_per_cell: int    # K
+    db: int                # devices along y (bands)
+    dx: int                # devices along x (blocks)
+    migrate_cap: int       # M: max migrants per direction per step
+
+    @property
+    def gb(self) -> int:
+        return self.grid_dim // self.db
+
+    @property
+    def gx(self) -> int:
+        return self.grid_dim // self.dx          # cell columns per block
+
+    @property
+    def lb(self) -> int:
+        return self.gx * self.slots_per_cell     # real lanes per block
+
+    @property
+    def lp(self) -> int:
+        return 2 * self.slots_per_cell           # halo lanes per side
+
+    def check(self):
+        assert self.grid_dim % self.db == 0 and self.grid_dim % self.dx == 0
+        assert self.gb >= RP, "band height must cover the row halo"
+        assert self.gx >= 2, "block must span at least 2 cell columns"
+
+
+def make_spatial_mesh(db: int, dx: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= db * dx
+    arr = np.asarray(devices[:db * dx]).reshape(db, dx)
+    return Mesh(arr, (BANDS, BLOCKS))
+
+
+# ------------------------------------------------------------- ownership --
+
+def owner_of(pos, cell_size, lay: SpatialLayout):
+    """(band, block) device coords of each particle's torus cell."""
+    cell = jnp.floor(pos / cell_size)
+    cell = jnp.clip(jnp.where(jnp.isfinite(cell), cell, 0.0), -1e9, 1e9)
+    cxy = jnp.mod(cell.astype(jnp.int32), lay.grid_dim)
+    return cxy[:, 1] // lay.gb, cxy[:, 0] // lay.gx
+
+
+def _ring_dir(dest, mine, size: int):
+    """Shortest-direction step (-1/0/+1) from ``mine`` toward ``dest`` on a ring."""
+    if size == 1:
+        return jnp.zeros_like(dest)
+    diff = jnp.mod(dest - mine, size)
+    return jnp.where(diff == 0, 0, jnp.where(diff <= size // 2, 1, -1))
+
+
+# ---------------------------------------------------------- halo exchange --
+
+def _ring_perm(size: int, shift: int):
+    """ppermute permutation sending device i's data to device (i + shift) % size."""
+    return [(i, (i + shift) % size) for i in range(size)]
+
+
+def _exchange_rows(t, lay: SpatialLayout):
+    """Fill the ROW_PAD halo rows from ring neighbors (torus wrap in y).
+
+    ``t``: (F, RP + Gb + RP, W). Top halo rows are the band-above's last RP
+    real rows; with one band this is the tensor's own wrap (fill_halo).
+    """
+    gb = lay.gb
+    top_src = t[:, gb:gb + RP]        # my last RP real rows -> neighbor below's top halo
+    bot_src = t[:, RP:2 * RP]         # my first RP real rows -> neighbor above's bottom halo
+    if lay.db == 1:
+        top, bot = top_src, bot_src
+    else:
+        # my top halo comes from band b-1's last rows: b-1 sends DOWN (+1)
+        top = jax.lax.ppermute(top_src, BANDS, _ring_perm(lay.db, 1))
+        bot = jax.lax.ppermute(bot_src, BANDS, _ring_perm(lay.db, -1))
+    return t.at[:, :RP].set(top).at[:, RP + gb:].set(bot)
+
+
+def _exchange_lanes(t, lay: SpatialLayout):
+    """Fill the 2K halo lanes from ring neighbors (torus wrap in x)."""
+    lb, lp = lay.lb, lay.lp
+    left_src = t[..., lb:lb + lp]     # my last lp real lanes
+    right_src = t[..., lp:2 * lp]     # my first lp real lanes
+    if lay.dx == 1:
+        left, right = left_src, right_src
+    else:
+        left = jax.lax.ppermute(left_src, BLOCKS, _ring_perm(lay.dx, 1))
+        right = jax.lax.ppermute(right_src, BLOCKS, _ring_perm(lay.dx, -1))
+    return t.at[..., :lp].set(left).at[..., lp + lb:].set(right)
+
+
+def _exchange_halos(t, lay: SpatialLayout):
+    """Rows first, then lanes: the lane pass carries the four corners."""
+    return _exchange_lanes(_exchange_rows(t, lay), lay)
+
+
+# --------------------------------------------------------- local binning --
+
+def _bin_local(pos, inv_mass, radius, batch_slot, active, cell_size,
+               band, block, lay: SpatialLayout, aux_cols):
+    """Sort-bin local particles into the device's padded plane window.
+
+    Returns ``(planes, aux, slot, in_grid)``; ``slot`` addresses the padded
+    (RP + Gb + RP, LP + Lb + LP) layout, out-of-window particles (in transit
+    after a teleport or ownership change) get the sentinel and fall back to
+    integration-only, like budget-dropped particles.
+    """
+    n = pos.shape[0]
+    g, k = lay.grid_dim, lay.slots_per_cell
+    gb, gx, lb, lp = lay.gb, lay.gx, lay.lb, lay.lp
+    rows = gb + 2 * RP
+    width = lb + 2 * lp
+
+    cell = jnp.floor(pos / cell_size)
+    cell = jnp.clip(jnp.where(jnp.isfinite(cell), cell, 0.0), -1e9, 1e9)
+    cxy = jnp.mod(cell.astype(jnp.int32), g)
+    ly = cxy[:, 1] - band * gb                       # local row
+    lx = cxy[:, 0] - block * gx                      # local cell column
+    in_win = (ly >= 0) & (ly < gb) & (lx >= 0) & (lx < gx) & active
+    local_cell = jnp.where(in_win, ly * gx + lx, gb * gx)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cid_sorted, pidx_sorted = jax.lax.sort_key_val(local_cell, idx)
+    from ..ops.grid import segmented_rank
+    rank = segmented_rank(cid_sorted)
+    ok = (rank < k) & (cid_sorted < gb * gx)
+    row_s = cid_sorted // gx
+    col_s = cid_sorted - row_s * gx
+    # padded slot: halo offsets baked in
+    slot_sorted = jnp.where(
+        ok, (row_s + RP) * width + lp + col_s * k + rank, rows * width)
+    slot = jnp.zeros((n,), jnp.int32).at[pidx_sorted].set(slot_sorted)
+
+    pack = jnp.stack([
+        pos[:, 0], pos[:, 1], inv_mass, radius,
+        batch_slot.astype(jnp.float32), jnp.zeros((n,), jnp.float32),
+        idx.astype(jnp.float32), jnp.where(active, 1.0, 0.0),
+    ], axis=1)
+    if aux_cols is not None:
+        pack = jnp.concatenate([pack, aux_cols], axis=1)
+
+    grid_idx = jnp.full((rows * width + 1,), -1, jnp.int32)
+    grid_idx = grid_idx.at[jnp.where(ok, slot_sorted, rows * width)].set(
+        pidx_sorted, mode="drop")[:-1]
+    occupied = grid_idx >= 0
+    rows_data = pack[jnp.maximum(grid_idx, 0)]
+    rows_data = jnp.where(occupied[:, None], rows_data, 0.0)
+    all_planes = rows_data.T.reshape(pack.shape[1], rows, width)
+    planes = all_planes[:dense_ops.N_FIELDS]
+    aux = all_planes[dense_ops.N_FIELDS:] if aux_cols is not None else None
+    in_grid = slot < rows * width
+    return planes, aux, slot, in_grid
+
+
+# ----------------------------------------------------------- plane sweep --
+
+def _sweep_local(planes, params, lay: SpatialLayout, cohesion: bool):
+    """Jacobi pair sweep over the local padded window. (2, Gb, W) corrections.
+
+    Reuses the single-chip lane-roll sweep (ops/dense.py sweep_planes_jnp):
+    the lane mask is K-periodic and the halo width is a multiple of K, so
+    local lane phase equals global lane phase; halo lanes receive garbage
+    corrections that the subsequent halo refresh overwrites."""
+    return dense_ops.sweep_planes_jnp(planes, params, lay.slots_per_cell,
+                                      cohesion=cohesion, ordered_budget=False)
+
+
+# ------------------------------------------------------------- migration --
+
+_MIG_FIELDS = 15  # pos2 prev2 vel2 last2 radius mass_t inv_mass batch color4
+
+
+def _pack_migrants(fields, send_mask, cap: int):
+    """Select up to ``cap`` masked rows into a fixed (cap, F+1) buffer.
+
+    Last column is the validity flag. Selection order is ascending particle
+    index (stable sort)."""
+    n = send_mask.shape[0]
+    key = jnp.where(send_mask, 0, 1).astype(jnp.int32)
+    _, idx_sorted = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    take = idx_sorted[:cap]
+    valid = send_mask[take]
+    rows = fields[take]                                     # (cap, F)
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    sent = jnp.zeros((n,), bool).at[take].set(valid)
+    return jnp.concatenate([rows, valid[:, None].astype(jnp.float32)],
+                           axis=1), sent
+
+
+def _place_migrants(fields, active, bufs, n_free_needed: int):
+    """Scatter received migrant rows into free (inactive) slots.
+
+    Returns (fields, active, n_dropped): rows beyond the free-slot supply are
+    dropped and counted (capacity-overflow budget analog)."""
+    n = active.shape[0]
+    key = jnp.where(active, 1, 0).astype(jnp.int32)          # free slots first
+    _, idx_sorted = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    free = idx_sorted[:n_free_needed]                        # candidate targets
+    free_ok = ~active[free]                                  # truly free?
+
+    total_valid = jnp.zeros((), jnp.int32)
+    offset = jnp.zeros((), jnp.int32)
+    dropped = jnp.zeros((), jnp.int32)
+    for buf in bufs:
+        rows, valid = buf[:, :-1], buf[:, -1] > 0.5
+        cap = rows.shape[0]
+        # pack this buffer's valid rows to the front of its slice window
+        vkey = jnp.where(valid, 0, 1).astype(jnp.int32)
+        _, vsort = jax.lax.sort_key_val(vkey, jnp.arange(cap, dtype=jnp.int32))
+        rows = rows[vsort]
+        valid = valid[vsort]
+        nv = jnp.sum(valid.astype(jnp.int32))
+        dst_i = offset + jnp.arange(cap, dtype=jnp.int32)
+        dst_ok = valid & (dst_i < n_free_needed)
+        dst = jnp.where(dst_ok, dst_i, n_free_needed)
+        target = jnp.concatenate([free, jnp.zeros((1,), jnp.int32)])[dst]
+        usable = dst_ok & jnp.concatenate([free_ok, jnp.zeros((1,), bool)])[dst]
+        target = jnp.where(usable, target, n)                # drop out of range
+        fields = fields.at[target].set(rows, mode="drop")
+        active = active.at[target].set(True, mode="drop")
+        dropped = dropped + jnp.sum((valid & ~usable).astype(jnp.int32))
+        offset = offset + nv
+        total_valid = total_valid + nv
+    return fields, active, dropped
+
+
+def _migrate_axis(fields, active, want_dir, axis_name: str, size: int,
+                  cap: int):
+    """One-hop ring migration along one mesh axis. Returns updated
+    (fields, active, n_dropped)."""
+    if size == 1:
+        return fields, active, jnp.zeros((), jnp.int32)
+    up_buf, up_sent = _pack_migrants(fields, active & (want_dir > 0), cap)
+    dn_buf, dn_sent = _pack_migrants(fields, active & (want_dir < 0), cap)
+    active = active & ~up_sent & ~dn_sent
+    up_recv = jax.lax.ppermute(up_buf, axis_name, _ring_perm(size, 1))
+    dn_recv = jax.lax.ppermute(dn_buf, axis_name, _ring_perm(size, -1))
+    return _place_migrants(fields, active, (up_recv, dn_recv), 2 * cap)
+
+
+# ------------------------------------------------------------- the step --
+
+def spatial_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
+    """Build the jitted 2D-spatially-sharded dense step.
+
+    ``step(state, cfg2, step_delta, relaxation) -> (state, stats, info)``
+    with ``state.batch_slot < 0`` marking inactive slots (see
+    :func:`redistribute`); semantics match the single-chip dense engine with
+    ``budget_mode='off'`` and ``dense_rebin='step'``. ``info`` is a (2, 2)
+    i32 array of (migration-dropped, in-transit) counts per population.
+    """
+    lay.check()
+    assert options.budget_mode == "off", (
+        "spatial_step implements budget_mode='off' semantics (the ordered "
+        "0.05 n^2 cutoff is inert at multi-chip counts)")
+    n_sub = options.n_substeps
+
+    def _pop_step(pos, prev, vel, last_pos, radius, mass_t, inv_mass,
+                  batch_slot, color, active, cfg, batch_target, follow_radius,
+                  band, block, sub_dt, relaxation):
+        damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
+        mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
+        inv_mass = jnp.where(active, 1.0 / jnp.maximum(mass, 1e-12), 0.0)
+        radius = jnp.where(
+            active, jnp_mix(cfg.min_radius, cfg.max_radius, mass_t), 0.0)
+
+        follow_c = solver_ops.strength_to_compliance(cfg.follow_strength, sub_dt)
+        collision_c = solver_ops.strength_to_compliance(cfg.collision_strength, sub_dt)
+        cohesion_c = solver_ops.strength_to_compliance(cfg.cohesion_strength, sub_dt)
+        cell_size, params = solver_ops._dense_params(
+            cfg, active, collision_c, cohesion_c, options)
+
+        table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
+        safe_slot = jnp.maximum(batch_slot, 0)
+        rows3 = table[safe_slot]                             # small local gather
+        tx, ty, td = rows3[:, 0], rows3[:, 1], 2.0 * rows3[:, 2]
+
+        aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
+                              tx, ty, td], axis=1)
+        planes, aux, slot, in_grid = _bin_local(
+            pos, inv_mass, radius, batch_slot, active, cell_size,
+            band, block, lay, aux_cols)
+        planes = _exchange_halos(planes, lay)
+        aux = _exchange_halos(aux, lay)
+
+        A = solver_ops
+        cohesion = options.cohesion_mode == "spacing"
+        for _ in range(n_sub):
+            px, py = planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y]
+            vx = aux[A.AUX_VX] * damp
+            vy = aux[A.AUX_VY] * damp
+            aux = (aux.at[A.AUX_PX].set(px).at[A.AUX_PY].set(py)
+                      .at[A.AUX_VX].set(vx).at[A.AUX_VY].set(vy))
+            x = px + sub_dt * vx
+            y = py + sub_dt * vy
+            dx, dy = A._follow_delta(x, y, planes[dense_ops.FIELD_W],
+                                     planes[dense_ops.FIELD_OCC] > 0.0,
+                                     aux[A.AUX_TX], aux[A.AUX_TY],
+                                     aux[A.AUX_TD], follow_c)
+            planes = (planes.at[dense_ops.FIELD_X].set(x + dx)
+                            .at[dense_ops.FIELD_Y].set(y + dy))
+
+            def collision_pass(_, pl):
+                corr = _sweep_local(pl, params, lay, cohesion)
+                pl = (pl.at[dense_ops.FIELD_X, RP:RP + lay.gb]
+                        .add(relaxation * corr[0])
+                        .at[dense_ops.FIELD_Y, RP:RP + lay.gb]
+                        .add(relaxation * corr[1]))
+                # refresh only the X/Y halos the correction touched
+                return pl.at[:2].set(_exchange_halos(pl[:2], lay))
+
+            planes = jax.lax.fori_loop(0, options.n_collision_steps,
+                                       collision_pass, planes)
+            aux = (aux.at[A.AUX_VX]
+                      .set((planes[dense_ops.FIELD_X] - aux[A.AUX_PX]) / sub_dt)
+                      .at[A.AUX_VY]
+                      .set((planes[dense_ops.FIELD_Y] - aux[A.AUX_PY]) / sub_dt))
+
+        ext = jnp.stack([planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
+                         aux[A.AUX_PX], aux[A.AUX_PY],
+                         aux[A.AUX_VX], aux[A.AUX_VY]], axis=-1).reshape(-1, 6)
+        got = ext[jnp.minimum(slot, ext.shape[0] - 1)]
+
+        # fallback: pre-solve + follow only (reference past-cutoff behavior)
+        fb_p, fb_v = pos, vel
+        fb_prev = pos
+        for _ in range(n_sub):
+            fb_v = fb_v * damp
+            fb_prev = fb_p
+            fb_p = fb_p + sub_dt * fb_v
+            fdx, fdy = A._follow_delta(fb_p[:, 0], fb_p[:, 1], inv_mass,
+                                       active, tx, ty, td, follow_c)
+            fb_p = fb_p + jnp.stack([fdx, fdy], axis=1)
+            fb_v = (fb_p - fb_prev) / sub_dt
+
+        sel = (in_grid & active)[:, None]
+        keep = active[:, None]
+        new_pos = jnp.where(sel, got[:, 0:2], jnp.where(keep, fb_p, pos))
+        new_prev = jnp.where(sel, got[:, 2:4], jnp.where(keep, fb_prev, prev))
+        new_vel = jnp.where(sel, got[:, 4:6], jnp.where(keep, fb_v, vel))
+        n_transit = jnp.sum((~in_grid) & active)
+        return (new_pos, new_prev, new_vel, inv_mass, radius, cell_size,
+                n_transit)
+
+    def _shard_body(state: ParticleState, cfg2: DeviceConfig,
+                    step_delta, relaxation):
+        sub_dt = jnp.maximum(step_delta / n_sub, EPS)
+        band = jax.lax.axis_index(BANDS)
+        block = jax.lax.axis_index(BLOCKS)
+        follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))
+        last_pos = state.pos
+
+        new = {"pos": [], "prev": [], "vel": [], "inv_mass": [], "radius": [],
+               "batch_slot": [], "mass_t": [], "color": [], "last_pos": []}
+        stats = []
+        info = []
+        for i in range(2):
+            cfg = jax.tree.map(lambda a: a[i], cfg2)
+            active = state.batch_slot[i] >= 0
+            (pos, prev, vel, inv_mass, radius, cell_size,
+             n_transit) = _pop_step(
+                state.pos[i], state.prev[i], state.vel[i], state.last_pos[i],
+                state.radius[i], state.mass_t[i], state.inv_mass[i],
+                state.batch_slot[i], state.color[i], active, cfg,
+                state.batch_target, follow_radius[i], band, block,
+                sub_dt, relaxation)
+
+            # ---- migration (y then x) ----
+            fields = jnp.concatenate([
+                pos, prev, vel, last_pos[i], radius[:, None],
+                state.mass_t[i][:, None], inv_mass[:, None],
+                state.batch_slot[i].astype(jnp.float32)[:, None],
+                state.color[i]], axis=1)                     # (C, 15)
+            dest_b, dest_x = owner_of(pos, cell_size, lay)
+            fields, act2, drop_y = _migrate_axis(
+                fields, active, _ring_dir(dest_b, band, lay.db),
+                BANDS, lay.db, lay.migrate_cap)
+            # x-phase recomputes destinations (received rows migrate on)
+            dest_b2, dest_x2 = owner_of(fields[:, 0:2], cell_size, lay)
+            fields, act3, drop_x = _migrate_axis(
+                fields, act2, _ring_dir(dest_x2, block, lay.dx),
+                BLOCKS, lay.dx, lay.migrate_cap)
+
+            new["pos"].append(fields[:, 0:2])
+            new["prev"].append(fields[:, 2:4])
+            new["vel"].append(fields[:, 4:6])
+            new["last_pos"].append(fields[:, 6:8])
+            new["radius"].append(jnp.where(act3, fields[:, 8], 0.0))
+            new["mass_t"].append(fields[:, 9])
+            new["inv_mass"].append(jnp.where(act3, fields[:, 10], 0.0))
+            new["batch_slot"].append(jnp.where(
+                act3, fields[:, 11].astype(jnp.int32), -1))
+            new["color"].append(fields[:, 12:16])
+
+            # ---- stats (global psums) ----
+            act = act3
+            pos_f = fields[:, 0:2]
+            vel_f = fields[:, 4:6]
+            rad_f = jnp.where(act, fields[:, 8], 0.0)
+
+            def gsum(x):
+                return jax.lax.psum(jax.lax.psum(x, BANDS), BLOCKS)
+
+            def gmax(x):
+                return jax.lax.pmax(jax.lax.pmax(x, BANDS), BLOCKS)
+
+            def gmin(x):
+                return jax.lax.pmin(jax.lax.pmin(x, BANDS), BLOCKS)
+
+            n_act = jnp.maximum(gsum(jnp.sum(act)), 1)
+            centroid = gsum(jnp.sum(jnp.where(act[:, None], pos_f, 0.0),
+                                    axis=0)) / n_act
+            max_vel = jnp.sqrt(gmax(jnp.max(jnp.where(
+                act, jnp.sum(vel_f * vel_f, -1), 0.0))))
+            big = jnp.float32(3.4e38)
+            lo = gmin(jnp.min(jnp.where(act[:, None], pos_f - rad_f[:, None],
+                                        big), axis=0))
+            hi = gmax(jnp.max(jnp.where(act[:, None], pos_f + rad_f[:, None],
+                                        -big), axis=0))
+            mrad = jnp.maximum(gmax(jnp.max(rad_f)), 1.0)
+            bsum, bcount = solver_ops.batch_segment_sums(
+                pos_f, act, jnp.maximum(new["batch_slot"][i], 0),
+                state.max_batches)
+            bsum, bcount = gsum(bsum), gsum(bcount)
+            last_cent = gsum(jnp.sum(jnp.where(
+                act[:, None], fields[:, 6:8], 0.0), axis=0)) / n_act
+            stats.append((centroid, max_vel, bsum, bcount, lo, hi, mrad,
+                          last_cent))
+            info.append(jnp.stack([gsum(drop_y + drop_x),
+                                   gsum(n_transit)]))
+
+        stacked = {k: jnp.stack(v) for k, v in new.items()}
+        (centroid, max_vel, bsum, bcount, lo, hi, mrad, last_cent) = (
+            jax.tree.map(lambda *x: jnp.stack(x), *stats))
+        new_state = state.replace(
+            pos=stacked["pos"], prev=stacked["prev"], vel=stacked["vel"],
+            last_pos=stacked["last_pos"], radius=stacked["radius"],
+            mass_t=stacked["mass_t"], inv_mass=stacked["inv_mass"],
+            batch_slot=stacked["batch_slot"], color=stacked["color"])
+        st = StepStats(aabb_min=lo, aabb_max=hi, centroid=centroid,
+                       last_centroid=last_cent, max_radius=mrad,
+                       max_velocity=max_vel, batch_pos_sum=bsum,
+                       batch_count=bcount)
+        return new_state, st, jnp.stack(info)
+
+    pvec = P(None, (BANDS, BLOCKS))
+    pmat = P(None, (BANDS, BLOCKS), None)
+    state_specs = ParticleState(
+        pos=pmat, prev=pmat, vel=pmat, last_pos=pmat, radius=pvec,
+        mass_t=pvec, inv_mass=pvec, batch_slot=pvec, color=pmat,
+        count=P(), batch_target=P(), batch_radius=P(), batch_used=P())
+    cfg_specs = jax.tree.map(lambda _: P(), DeviceConfig(
+        *([0.0] * 15), jnp.zeros(4), jnp.zeros(4)))
+    stats_specs = StepStats(
+        aabb_min=P(), aabb_max=P(), centroid=P(), last_centroid=P(),
+        max_radius=P(), max_velocity=P(), batch_pos_sum=P(), batch_count=P())
+
+    from ._compat import shard_map_compat
+    fn = shard_map_compat(
+        _shard_body, mesh=mesh,
+        in_specs=(state_specs, cfg_specs, P(), P()),
+        out_specs=(state_specs, stats_specs, P()))
+    return jax.jit(fn)
+
+
+# ----------------------------------------------------------- redistribute --
+
+def redistribute(state: ParticleState, cfg2_cell_size, lay: SpatialLayout,
+                 mesh: Mesh, from_spatial: bool = False) -> ParticleState:
+    """Re-establish the spatial layout invariant from any state.
+
+    Sorts each population's live particles into the mesh-linearized device
+    slices by torus-cell ownership; inactive padding gets ``batch_slot=-1``.
+    ``cfg2_cell_size``: (2,) per-population cell size (host floats ok).
+    ``from_spatial=False`` treats the input as a standard prefix-contiguous
+    handler state (live = first ``count`` slots); ``True`` reads liveness
+    from ``batch_slot >= 0`` (a state already in spatial layout). Raises if
+    any device's share exceeds its slice capacity.
+    """
+    lay.check()
+    n_dev = lay.db * lay.dx
+    cap = state.capacity
+    assert cap % n_dev == 0
+    c_loc = cap // n_dev
+
+    host = jax.device_get(state)
+    out = {f: np.array(getattr(host, f)) for f in
+           ("pos", "prev", "vel", "last_pos", "radius", "mass_t", "inv_mass",
+            "batch_slot", "color")}
+    counts = np.array(host.count)
+    for i in range(2):
+        if from_spatial:
+            live_idx = np.nonzero(out["batch_slot"][i] >= 0)[0]
+        else:
+            live_idx = np.arange(int(counts[i]))
+        pos = out["pos"][i][live_idx]
+        cell = np.floor(pos / float(np.asarray(cfg2_cell_size)[i]))
+        cxy = np.mod(cell.astype(np.int64), lay.grid_dim)
+        owner = ((cxy[:, 1] // lay.gb) * lay.dx + (cxy[:, 0] // lay.gx))
+        per_dev = np.bincount(owner, minlength=n_dev)
+        if per_dev.max() > c_loc:
+            raise ValueError(
+                f"spatial redistribute overflow: a device needs "
+                f"{int(per_dev.max())} slots but slice capacity is {c_loc}; "
+                f"increase capacity or mesh size")
+        order = np.argsort(owner, kind="stable")
+        sorted_owner = owner[order]
+        # rank within each device's contiguous run
+        seg_starts = np.zeros(live_idx.size, np.int64)
+        change = np.nonzero(np.diff(sorted_owner))[0] + 1
+        seg_starts[change] = change
+        seg_starts = np.maximum.accumulate(seg_starts)
+        ranks = np.arange(live_idx.size) - seg_starts
+        dst_of_sorted = sorted_owner * c_loc + ranks
+        for f in out:
+            src = out[f][i][live_idx][order]
+            fresh = (np.full_like(out[f][i], -1) if f == "batch_slot"
+                     else np.zeros_like(out[f][i]))
+            fresh[dst_of_sorted] = src
+            out[f][i] = fresh
+
+    pvec = P(None, (BANDS, BLOCKS))
+    pmat = P(None, (BANDS, BLOCKS), None)
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    return state.replace(
+        pos=put(out["pos"], pmat), prev=put(out["prev"], pmat),
+        vel=put(out["vel"], pmat), last_pos=put(out["last_pos"], pmat),
+        radius=put(out["radius"], pvec), mass_t=put(out["mass_t"], pvec),
+        inv_mass=put(out["inv_mass"], pvec),
+        batch_slot=put(out["batch_slot"], pvec),
+        color=put(out["color"], pmat),
+        count=put(host.count, P()), batch_target=put(host.batch_target, P()),
+        batch_radius=put(host.batch_radius, P()),
+        batch_used=put(host.batch_used, P()),
+    )

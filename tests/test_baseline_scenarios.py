@@ -20,6 +20,8 @@ from egg_fluid_simulation_tpu import (Path, SimulationHandler, SolverOptions,
                                       WHITE, YOLK)
 from egg_fluid_simulation_tpu.utils import profiling
 
+pytestmark = pytest.mark.slow  # heavy gate tier; see pytest.ini
+
 
 def _handler(**kw):
     kw.setdefault("capacity", 4096)

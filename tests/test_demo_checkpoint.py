@@ -7,6 +7,8 @@ from egg_fluid_simulation_tpu import demo as demo_mod
 from egg_fluid_simulation_tpu import checkpoint
 from egg_fluid_simulation_tpu.state import WHITE
 
+pytestmark = pytest.mark.slow  # heavy gate tier; see pytest.ini
+
 
 def test_demo_scripted_session_runs():
     stats = demo_mod.run_demo(frames=20, out_dir=None, spawn_every=8, swap_at=10)

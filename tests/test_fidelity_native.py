@@ -15,7 +15,8 @@ from egg_fluid_simulation_tpu import (SimulationHandler, SolverOptions,
                                       WHITE)
 from egg_fluid_simulation_tpu.native import NativeOracle, available
 
-pytestmark = pytest.mark.skipif(not available(), reason="no C++ toolchain")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not available(), reason="no C++ toolchain")]
 
 
 def _pair(n_white=500, engine="gather", **cfg_over):

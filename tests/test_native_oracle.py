@@ -8,7 +8,8 @@ import pytest
 from egg_fluid_simulation_tpu.native import NativeOracle, available
 from oracle import OracleSim, OracleConfig, fibonacci_offsets, _mass_t
 
-pytestmark = pytest.mark.skipif(not available(), reason="no C++ toolchain")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not available(), reason="no C++ toolchain")]
 
 
 def _build_pair(n=40, x=0.0, y=0.0, rad=20.0, **cfg_over):

@@ -1,0 +1,196 @@
+"""2D spatial decomposition (parallel/spatial.py) on the virtual CPU mesh.
+
+Equivalence target: the single-chip dense engine (``budget_mode='off'``,
+``dense_rebin='step'``) — the spatial step must reproduce its trajectories
+on a (bands x blocks) mesh, with halo exchange carrying cross-boundary pairs
+and ring migration carrying ownership changes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from egg_fluid_simulation_tpu import (SimulationHandler, SolverOptions,
+                                      default_white_config,
+                                      default_yolk_config)
+from egg_fluid_simulation_tpu.ops import solver as solver_ops
+from egg_fluid_simulation_tpu.parallel import spatial as S
+
+G = 32
+
+
+def _options(k):
+    return SolverOptions(engine="dense", budget_mode="off",
+                         dense_rebin="step", dense_grid_dim=G, dense_slots=k,
+                         use_pallas=False)
+
+
+# Fast tier runs K=4 (15 lane-roll terms -> ~2x lighter CPU compile); the
+# slow-tier variants keep the production K=8. The fast scene is spread out so
+# no cell exceeds K=4 occupancy (asserted below) — with zero overflow the
+# drop sets are empty and the spatial step must match the single-chip dense
+# engine exactly up to summation order.
+OPTIONS = _options(8)
+OPTIONS_FAST = _options(4)
+
+
+def _handler(capacity=1024, options=OPTIONS, spread=False):
+    h = SimulationHandler(
+        default_white_config(), default_yolk_config(),
+        capacity=capacity, max_batches=8, options=options)
+    r = 40.0 if spread else 22.0
+    n = (40, 10) if spread else (60, 14)
+    a = h.add(60.0, 50.0, r, r * 0.3, None, None, *n)
+    b = h.add(150.0, 90.0, r, r * 0.3, None, None, *n)
+    h.set_target_position(a, 120.0, 70.0)
+    h.set_target_position(b, 80.0, 60.0)
+    h._flush_targets()
+    return h
+
+
+def _max_cell_occupancy(h, i, cell):
+    pos = np.asarray(h.state.pos[i])[np.asarray(h.state.active_mask()[i])]
+    cxy = np.mod(np.floor(pos / cell).astype(np.int64), G)
+    return np.bincount(cxy[:, 1] * G + cxy[:, 0]).max()
+
+
+def _cell_sizes(h):
+    sizes = []
+    for cfg in (h._white_config, h._yolk_config):
+        f = max(cfg["collision_overlap_factor"],
+                cfg["cohesion_interaction_distance_factor"])
+        sizes.append(max(1.0, cfg["max_radius"] * f))
+    return sizes
+
+
+
+@pytest.fixture(scope="module")
+def mesh22():
+    lay = S.SpatialLayout(G, 4, db=2, dx=2, migrate_cap=64)
+    mesh = S.make_spatial_mesh(2, 2)
+    return lay, mesh, S.spatial_step(mesh, lay, OPTIONS_FAST)
+
+
+@pytest.mark.parametrize(
+    "db,dx",
+    [pytest.param(4, 2, marks=pytest.mark.slow),
+     (2, 2),
+     pytest.param(4, 1, marks=pytest.mark.slow)])
+def test_spatial_step_matches_single_chip(db, dx, mesh22):
+    if (db, dx) == (2, 2):
+        h = _handler(options=OPTIONS_FAST, spread=True)
+        options = OPTIONS_FAST
+        lay, mesh, step = mesh22
+        for i, cell in enumerate(_cell_sizes(h)):
+            assert _max_cell_occupancy(h, i, cell) <= 4  # no-overflow precondition
+    else:
+        h = _handler()
+        options = OPTIONS
+        lay = S.SpatialLayout(grid_dim=G, slots_per_cell=8, db=db, dx=dx,
+                              migrate_cap=64)
+        mesh = S.make_spatial_mesh(db, dx)
+        step = S.spatial_step(mesh, lay, OPTIONS)
+    sp_state = S.redistribute(h.state, _cell_sizes(h), lay, mesh)
+
+    cfg2 = h._device_cfg2()
+    dt = jnp.float32(1 / 60)
+    relax = jnp.float32(1.0)
+
+    ref_state = h.state
+    for _ in range(3):
+        ref_state, ref_stats = solver_ops.step(ref_state, cfg2, dt, relax,
+                                               options)
+        sp_state, sp_stats, info = step(sp_state, cfg2, dt, relax)
+
+    info = np.asarray(info)
+    assert info[:, 0].sum() == 0, "no migration drops expected"
+
+    ref_act = np.asarray(ref_state.active_mask())
+    sp_slot = np.asarray(sp_state.batch_slot)
+    for i in range(2):
+        ref_pos = np.asarray(ref_state.pos[i])[ref_act[i]]
+        sp_pos = np.asarray(sp_state.pos[i])[sp_slot[i] >= 0]
+        assert ref_pos.shape == sp_pos.shape
+        # particle order differs (spatial layout); match as point sets
+        d = np.linalg.norm(ref_pos[:, None, :] - sp_pos[None, :, :], axis=-1)
+        assert d.min(axis=1).max() < 1e-3, f"pop {i}: unmatched particle"
+        np.testing.assert_allclose(np.asarray(sp_stats.centroid[i]),
+                                   np.asarray(ref_stats.centroid[i]),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(sp_stats.batch_pos_sum[i]),
+                                   np.asarray(ref_stats.batch_pos_sum[i]),
+                                   rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(sp_stats.batch_count[i]),
+                                   np.asarray(ref_stats.batch_count[i]))
+
+
+def test_redistribute_establishes_ownership_invariant():
+    h = _handler()
+    lay = S.SpatialLayout(G, 8, db=4, dx=2, migrate_cap=32)
+    mesh = S.make_spatial_mesh(4, 2)
+    st = S.redistribute(h.state, _cell_sizes(h), lay, mesh)
+    c_loc = st.capacity // 8
+    for i, cell in enumerate(_cell_sizes(h)):
+        slot = np.asarray(st.batch_slot[i])
+        pos = np.asarray(st.pos[i])
+        live = slot >= 0
+        assert live.sum() == int(np.asarray(h.state.count)[i])
+        band, block = (np.asarray(x) for x in S.owner_of(
+            jnp.asarray(pos), jnp.float32(cell), lay))
+        dev = band * lay.dx + block
+        idx = np.arange(st.capacity)
+        assert (dev[live] == idx[live] // c_loc).all()
+
+
+def test_migration_carries_ownership_change(mesh22):
+    """A particle pushed across a band boundary is handed to the new owner
+    within one step (one mesh hop)."""
+    h = _handler(options=OPTIONS_FAST, spread=True)
+    lay, mesh, step = mesh22
+    st = S.redistribute(h.state, _cell_sizes(h), lay, mesh)
+    cfg2 = h._device_cfg2()
+
+    # teleport one white particle into the next band (still same block)
+    cell = _cell_sizes(h)[0]
+    band_px = lay.gb * cell
+    pos = np.array(st.pos)
+    slot = np.asarray(st.batch_slot)
+    j = int(np.nonzero(slot[0] >= 0)[0][0])
+    old = pos[0, j].copy()
+    pos[0, j, 1] = old[1] + band_px  # one band down
+    st = st.replace(pos=jnp.asarray(pos),
+                    prev=jnp.asarray(pos).copy(),
+                    vel=st.vel * 0.0)
+    st2, stats, info = step(st, cfg2, jnp.float32(1 / 60), jnp.float32(1.0))
+    info = np.asarray(info)
+    assert info[0, 0] == 0  # no drops
+    # count preserved
+    assert (np.asarray(st2.batch_slot[0]) >= 0).sum() == (slot[0] >= 0).sum()
+    # the teleported particle now lives in the slice of its new owner
+    c_loc = st.capacity // (lay.db * lay.dx)
+    pos2 = np.asarray(st2.pos[0])
+    slot2 = np.asarray(st2.batch_slot[0])
+    live2 = slot2 >= 0
+    band2, block2 = (np.asarray(x) for x in S.owner_of(
+        jnp.asarray(pos2), jnp.float32(cell), lay))
+    dev2 = band2 * lay.dx + block2
+    idx = np.arange(st.capacity)
+    # after one step every live particle is at most one ring hop per axis
+    have_b = (idx[live2] // c_loc) // lay.dx
+    hop = np.minimum(np.mod(band2[live2] - have_b, lay.db),
+                     np.mod(have_b - band2[live2], lay.db))
+    assert hop.max() <= 1
+
+
+def test_particle_count_preserved_over_many_steps(mesh22):
+    h = _handler(options=OPTIONS_FAST, spread=True)
+    lay, mesh, step = mesh22
+    st = S.redistribute(h.state, _cell_sizes(h), lay, mesh)
+    cfg2 = h._device_cfg2()
+    want = [(np.asarray(st.batch_slot[i]) >= 0).sum() for i in range(2)]
+    for _ in range(6):
+        st, stats, info = step(st, cfg2, jnp.float32(1 / 60), jnp.float32(1.0))
+        assert np.asarray(info)[:, 0].sum() == 0
+    for i in range(2):
+        assert (np.asarray(st.batch_slot[i]) >= 0).sum() == want[i]
