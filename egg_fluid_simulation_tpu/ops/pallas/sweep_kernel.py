@@ -30,23 +30,33 @@ from .. import dense as D
 
 __all__ = ["sweep_planes", "count_planes"]
 
-_BLOCK_ROWS = 8
+_BLOCK_ROWS = 32  # rows per program; larger blocks amortize the 2*ROW_PAD
+                  # DMA halo (only +-1 row is read) and the per-program ramp
 
 
 def _lane_mask_2d(rows: int, lanes: int, k: int, d: int):
-    """(rows, lanes) bool — cells of pair (l, l-d) within +-1 column."""
-    s = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1) % k
+    """(1, lanes) bool — cells of pair (l, l-d) within +-1 column.
+
+    Row-invariant; broadcasting the single row into the pair terms is free
+    compared to materializing (rows, lanes) per d."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % k
     cell_diff = -jnp.floor_divide(s - d, k)
     return jnp.abs(cell_diff) <= 1
 
 
 def _roll(x, d):
-    """Lane roll matching jnp.roll(x, d, axis=-1): out[l] = x[l - d]."""
+    """Lane roll matching jnp.roll(x, d, axis=-1): out[l] = x[l - d].
+
+    ``pltpu.roll`` lowers to the VPU's native lane rotate; the
+    concat-of-slices fallback covers interpret mode off-TPU."""
     if d == 0:
         return x
     lanes = x.shape[-1]
     d = d % lanes
-    return jnp.concatenate([x[..., lanes - d:], x[..., :lanes - d]], axis=-1)
+    try:
+        return pltpu.roll(x, d, axis=x.ndim - 1)
+    except Exception:
+        return jnp.concatenate([x[..., lanes - d:], x[..., :lanes - d]], axis=-1)
 
 
 def _pair_terms(block, r0: int, rows: int, k: int, params,
@@ -74,18 +84,31 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
         ty = jnp.zeros_like(sy)
         collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs = params
 
+    # Only the fields this pass reads get rolled — lane shifts are pure VMEM
+    # shuffle traffic, the kernel's second-largest cost after the pair math.
+    # CUM/IDX ride only under the ordered budget; IDX also keys the count
+    # pass; BATCH only matters when cohesion tests same-batch.
+    need = [D.FIELD_X, D.FIELD_Y, D.FIELD_W, D.FIELD_R, D.FIELD_OCC]
+    if count_only or ordered_budget:
+        need.append(D.FIELD_IDX)
+    if ordered_budget:
+        need.append(D.FIELD_CUM)
+    if cohesion and not count_only:
+        need.append(D.FIELD_BATCH)
+
     # roll once per lane offset d (dy-independent), slice rows per dy —
-    # cuts roll op count 3x vs rolling inside the dy loop
+    # cuts roll op count 3x vs rolling inside the dy loop; only the
+    # [r0-1, r0+rows+1) window the dy slices read gets rolled
     for d in range(-(2 * k - 1), 2 * k):
         mask = _lane_mask_2d(rows, lanes, k, d)
-        rolled = [_roll(block[f], d) for f in range(D.N_FIELDS)]
+        rolled = {f: _roll(block[f][r0 - 1:r0 + rows + 1], d) for f in need}
         for dy in (-1, 0, 1):
             if dy == 0 and d == 0:
                 continue
-            o_block = [rolled[f][r0 + dy:r0 + dy + rows]
-                       for f in range(D.N_FIELDS)]
+            o_block = {f: rolled[f][1 + dy:1 + dy + rows]
+                       for f in need}
             oocc = o_block[D.FIELD_OCC]
-            oidx = o_block[D.FIELD_IDX]
+            oidx = o_block.get(D.FIELD_IDX)
             valid = (socc > 0.0) & (oocc > 0.0) & mask
 
             if count_only:
@@ -165,7 +188,7 @@ def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
                   ordered_budget: bool, interpret: bool = False):
     f, g2, lanes = planes.shape
     g = g2 - 2 * D.ROW_PAD
-    b = _BLOCK_ROWS
+    b = min(_BLOCK_ROWS, g)
     assert g % b == 0, "dense_grid_dim must be a multiple of the sweep block"
 
     kernel = _make_kernel(k, cohesion, ordered_budget, False, b)
@@ -193,7 +216,7 @@ def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
 def _count_pallas(planes, k: int, interpret: bool = False):
     f, g2, lanes = planes.shape
     g = g2 - 2 * D.ROW_PAD
-    b = _BLOCK_ROWS
+    b = min(_BLOCK_ROWS, g)
     assert g % b == 0
 
     kernel = _make_kernel(k, False, False, True, b)
