@@ -47,16 +47,14 @@ def _lane_mask_2d(rows: int, lanes: int, k: int, d: int):
 def _roll(x, d):
     """Lane roll matching jnp.roll(x, d, axis=-1): out[l] = x[l - d].
 
-    ``pltpu.roll`` lowers to the VPU's native lane rotate; the
-    concat-of-slices fallback covers interpret mode off-TPU."""
+    Concat-of-slices on purpose: ``pltpu.roll`` (the native lane rotate) was
+    measured marginally SLOWER here (4.6 vs 4.2 ms/sweep at 1M slots) and
+    costs minutes of extra Mosaic compile time at 90 rolls per kernel."""
     if d == 0:
         return x
     lanes = x.shape[-1]
     d = d % lanes
-    try:
-        return pltpu.roll(x, d, axis=x.ndim - 1)
-    except Exception:
-        return jnp.concatenate([x[..., lanes - d:], x[..., :lanes - d]], axis=-1)
+    return jnp.concatenate([x[..., lanes - d:], x[..., :lanes - d]], axis=-1)
 
 
 def _pair_terms(block, r0: int, rows: int, k: int, params,

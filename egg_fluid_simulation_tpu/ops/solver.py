@@ -106,6 +106,10 @@ class SolverOptions:
     n_collision_steps: int = 3      # reference default, :171
     pop_caps: Optional[Union[int, Tuple[int, int]]] = None  # static per-pop
                                     # particle-slice size; None = full capacity
+    adaptive_rebin: bool = True     # multi_step fast-forward: keep state
+                                    # plane-resident across steps, rebinning
+                                    # only when accumulated drift exceeds
+                                    # cell_size/4 (see _population_multi_dense)
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
@@ -482,6 +486,21 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
         binning = _dense_add_cum(binning, k, options.use_pallas)
     planes, aux = binning.planes, binning.aux
 
+    planes, aux = _plane_run(planes, aux, damp, follow_c, params, sub_dt,
+                             relaxation, options, g, k, n_sub,
+                             cohesion=cohesion, ordered=ordered)
+    return _plane_extract(planes, aux, binning.slot, g, lanes)
+
+
+def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
+               options: SolverOptions, g: int, k: int, n_sub: int,
+               *, cohesion: bool, ordered: bool):
+    """``n_sub`` substeps of the whole pipeline in plane layout (no binning,
+    no extraction) — shared by the per-step path and the plane-resident
+    fast-forward (:func:`_population_multi_dense`)."""
+    from .pallas import sweep_kernel
+    rp = dense_ops.ROW_PAD
+
     def collision_pass(_, pl):
         corr = sweep_kernel.sweep_planes(pl, params, k, cohesion=cohesion,
                                          ordered_budget=ordered,
@@ -515,15 +534,20 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
                   .at[AUX_VY].set((planes[dense_ops.FIELD_Y] - aux[AUX_PY])
                                   / sub_dt))
 
-    # single extraction gather: 6 fields per particle
+    return planes, aux
+
+
+def _plane_extract(planes, aux, slot, g: int, lanes: int):
+    """One gather pulling (pos, prev, vel) per particle out of plane layout."""
+    rp = dense_ops.ROW_PAD
     ext = jnp.stack([planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
                      aux[AUX_PX], aux[AUX_PY],
                      aux[AUX_VX], aux[AUX_VY]], axis=-1)    # (rows, L, 6)
     ext = ext.reshape(-1, 6)
-    padded = jnp.minimum(binning.slot + rp * lanes, ext.shape[0] - 1)
+    padded = jnp.minimum(slot + rp * lanes, ext.shape[0] - 1)
     got = ext[padded]
-    in_grid = binning.slot < g * lanes
-    return (got[:, 0:2], got[:, 2:4], got[:, 4:6], in_grid)
+    in_grid = slot < g * lanes
+    return got[:, 0:2], got[:, 2:4], got[:, 4:6], in_grid
 
 
 def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
@@ -580,6 +604,110 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
         new_prev = jnp.where(sel, prev_pl, jnp.where(keep, fb_prev, new_prev))
         new_vel = jnp.where(sel, v_pl, jnp.where(keep, fb_v, new_vel))
     return new_pos, new_prev, new_vel, inv_mass, radius
+
+
+def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
+                            follow_rows, sub_dt, relaxation,
+                            options: SolverOptions, g: int, k: int,
+                            n_steps: int):
+    """``n_steps`` whole fixed steps with ADAPTIVE plane residency.
+
+    The dense state stays in grid layout across steps; a fresh binning (sort
+    + placement, ~19 ms at 1M) happens only when some live particle has
+    drifted more than ``cell_size/4`` from its position at bin time —
+    settled scenes advance at pure sweep + elementwise cost, violent scenes
+    rebin every step. Justification: the pair sets the 3x3 sweep window sees
+    are exact for the *binned* cells; a bounded drift bounds the window
+    error to a quarter-cell, far inside the staleness the reference itself
+    carries across substeps (SURVEY.md §5.2). Requires
+    ``budget_mode='off'`` (the ordered prefix would need a per-pass global
+    recount) and ``dense_rebin='step'``.
+    """
+    from .pallas import place_kernel
+    assert options.budget_mode == "off" and options.dense_rebin == "step"
+    lanes = g * k
+    n_sub = options.n_substeps
+    cohesion = options.cohesion_mode == "spacing"
+    use_placement = options.use_pallas and place_kernel.on_tpu()
+
+    damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
+    mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
+    inv_mass = jnp.where(act, 1.0 / jnp.maximum(mass, jnp.float32(1e-12)), 0.0)
+    radius = jnp.where(act, jnp_mix(cfg.min_radius, cfg.max_radius, mass_t), 0.0)
+
+    follow_c = strength_to_compliance(cfg.follow_strength, sub_dt)
+    collision_c = strength_to_compliance(cfg.collision_strength, sub_dt)
+    cohesion_c = strength_to_compliance(cfg.cohesion_strength, sub_dt)
+    cell_size, params = _dense_params(cfg, act, collision_c, cohesion_c, options)
+    tx, ty, td = follow_rows[:, 0], follow_rows[:, 1], 2.0 * follow_rows[:, 2]
+    drift_thresh2 = (0.25 * cell_size) ** 2
+
+    def bin_now(p, v):
+        aux_cols = jnp.stack([p[:, 0], p[:, 1], v[:, 0], v[:, 1],
+                              tx, ty, td], axis=1)
+        binning = dense_ops.bin_to_planes(
+            p, inv_mass, radius, batch_slot, act, cell_size,
+            grid_dim=g, slots_per_cell=k, aux_cols=aux_cols,
+            use_placement=use_placement)
+        ref_xy = binning.planes[:2]
+        return binning.planes, binning.aux, binning.slot, ref_xy
+
+    def merge(planes, aux, slot, fb_p, fb_prev, fb_v):
+        p_pl, prev_pl, v_pl, in_grid = _plane_extract(planes, aux, slot,
+                                                      g, lanes)
+        sel = (in_grid & act)[:, None]
+        p = jnp.where(sel, p_pl, fb_p)
+        pr = jnp.where(sel, prev_pl, fb_prev)
+        v = jnp.where(sel, v_pl, fb_v)
+        return p, pr, v
+
+    def fb_steps(p, v):
+        pr = p
+        for _ in range(n_sub):
+            v = v * damp
+            pr = p
+            p = p + sub_dt * v
+            fdx, fdy = _follow_delta(p[:, 0], p[:, 1], inv_mass, act,
+                                     tx, ty, td, follow_c)
+            p = p + jnp.stack([fdx, fdy], axis=1)
+            v = (p - pr) / sub_dt
+        return p, pr, v
+
+    def body(carry, _):
+        planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = carry
+        # max squared drift since bin time: plane-resident particles ...
+        dxp = planes[dense_ops.FIELD_X] - ref_xy[0]
+        dyp = planes[dense_ops.FIELD_Y] - ref_xy[1]
+        drift2 = jnp.max(dxp * dxp + dyp * dyp)
+        # ... plus the fallback-integrated (budget-dropped) live particles
+        dropped = act & (slot >= g * lanes)
+        dfb = fb_p - fb_ref
+        drift2 = jnp.maximum(drift2, jnp.max(jnp.where(
+            dropped, jnp.sum(dfb * dfb, axis=1), 0.0)))
+        need = drift2 > drift_thresh2
+
+        def rebin(c):
+            planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
+            p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v)
+            planes2, aux2, slot2, ref2 = bin_now(p, v)
+            return (planes2, aux2, slot2, ref2, p, pr, v, p)
+
+        (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref) = (
+            jax.lax.cond(need, rebin, lambda c: c,
+                         (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v,
+                          fb_ref)))
+        planes, aux = _plane_run(planes, aux, damp, follow_c, params, sub_dt,
+                                 relaxation, options, g, k, n_sub,
+                                 cohesion=cohesion, ordered=False)
+        fb_p, fb_prev, fb_v = fb_steps(fb_p, fb_v)
+        return (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref), None
+
+    planes, aux, slot, ref_xy = bin_now(pos, vel)
+    carry = (planes, aux, slot, ref_xy, pos, pos, vel, pos)
+    carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
+    planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = carry
+    p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v)
+    return p, pr, v, inv_mass, radius
 
 
 # ----------------------------------------------------- classic substep path --
@@ -770,12 +898,38 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
             state.batch_slot[i, :caps[i]])
         for i in range(2))
 
-    def body(s, _):
-        s2, _none = _step_impl(s, cfg2, step_delta, relaxation, options,
-                               with_stats=False, follow_rows=follow_rows)
-        return s2, None
+    use_resident = (options.engine == "dense" and options.dense_rebin == "step"
+                    and options.budget_mode == "off" and options.adaptive_rebin
+                    and n_steps > 1)
+    if use_resident:
+        # plane-resident fast-forward: n_steps-1 steps with drift-adaptive
+        # rebinning, then one fully-binned step for stats/last_pos
+        sub_dt = jnp.maximum(step_delta / options.n_substeps, EPS)
+        active_full = state.active_mask()
+        new_pos, new_prev, new_vel = state.pos, state.prev, state.vel
+        new_inv, new_rad = state.inv_mass, state.radius
+        for i in range(2):
+            cap = caps[i]
+            cfg = jax.tree.map(lambda a: a[i], cfg2)
+            p, pr, v, im, rad = _population_multi_dense(
+                state.pos[i, :cap], state.vel[i, :cap],
+                state.mass_t[i, :cap], state.batch_slot[i, :cap],
+                active_full[i, :cap], cfg, follow_rows[i], sub_dt,
+                relaxation, options, options.dense_grid_dim[i],
+                options.dense_slots[i], n_steps - 1)
+            new_pos = new_pos.at[i, :cap].set(p)
+            new_prev = new_prev.at[i, :cap].set(pr)
+            new_vel = new_vel.at[i, :cap].set(v)
+            new_inv = new_inv.at[i, :cap].set(im)
+            new_rad = new_rad.at[i, :cap].set(rad)
+        state = state.replace(pos=new_pos, prev=new_prev, vel=new_vel,
+                              inv_mass=new_inv, radius=new_rad)
+    elif n_steps > 1:
+        def body(s, _):
+            s2, _none = _step_impl(s, cfg2, step_delta, relaxation, options,
+                                   with_stats=False, follow_rows=follow_rows)
+            return s2, None
 
-    if n_steps > 1:
         state, _ = jax.lax.scan(body, state, None, length=n_steps - 1)
     return _step_impl(state, cfg2, step_delta, relaxation, options,
                       with_stats=True, follow_rows=follow_rows)
