@@ -119,18 +119,19 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
     smooth = jnp.float32(h._thresholding_smoothness)
     use_lighting = bool(h._use_lighting)
 
+    def frame_fn(state, stats):
+        frame, _, _ = render_ops._render_frame(
+            state, stats, cfg2, jnp.float32(1.0), thr, smooth, origin,
+            opts2, use_lighting, vw, vh)
+        return jnp.sum(frame)
+
     @jax.jit
     def loop(state):
-        def body(carry, _):
-            state, acc = carry
-            state, stats = solver_ops._step_impl(state, cfg2, dt, relax, options)
-            frame, _, _ = render_ops._render_frame(
-                state, stats, cfg2, jnp.float32(1.0), thr, smooth, origin,
-                opts2, use_lighting, vw, vh)
-            return (state, acc + jnp.sum(frame)), None
-        (state, acc), _ = jax.lax.scan(body, (state, jnp.float32(0.0)),
-                                       None, length=chain)
-        return state, acc
+        # plane-resident frame loop: step + full render per iteration, the
+        # binning amortized by drift-adaptive residency like a real app's
+        # persistent update->draw loop
+        return solver_ops.multi_step_frames(state, cfg2, dt, relax, options,
+                                            chain, frame_fn)
 
     state = h.state
 

@@ -167,7 +167,9 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
     slot_sorted = jnp.where((rank < k) & (cid_sorted < g * g),
                             row * lanes + cx * k + rank, g * lanes)
 
-    slot = jnp.zeros((n,), jnp.int32).at[pidx_sorted].set(slot_sorted)
+    # per-particle slot = inverse permutation of (pidx_sorted -> slot_sorted);
+    # sort-by-pidx costs ~2.8 ms at 1M vs ~5 ms for the element scatter
+    _, slot = jax.lax.sort_key_val(pidx_sorted, slot_sorted)
 
     if cum is None:
         cum = jnp.zeros((n,), jnp.float32)

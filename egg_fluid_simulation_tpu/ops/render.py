@@ -262,7 +262,7 @@ def _tile_bins(opts: RenderOptions):
 def splat_population(pos, last_pos, vel, radius, color, active,
                      canvas_center, interpolation_alpha,
                      texture_scale, motion_blur,
-                     opts: RenderOptions):
+                     opts: RenderOptions, upsample: bool = True):
     """Accumulated density canvas(es) for one population.
 
     Returns ``(alpha, rgb_or_None, n_overflow)``: ``alpha`` is (S, S)
@@ -386,11 +386,22 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     if use_rgb:
         tiles_rgb = tiles_rgb.reshape(n_groups * tc, th, tw, 3)[:n_tiles]
         rgb = tiles_rgb.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4).reshape(s, s, 3)
-    if opts.downsample > 1:
-        alpha = jax.image.resize(alpha, (s_full, s_full), "linear")
-        if use_rgb:
-            rgb = jax.image.resize(rgb, (s_full, s_full, 3), "linear")
+    if opts.downsample > 1 and upsample:
+        alpha, rgb = upsample_splat(alpha, rgb, opts)
     return alpha, rgb, overflow
+
+
+def upsample_splat(alpha, rgb, opts: RenderOptions):
+    """Bilinear upsample of a coarse-evaluated splat canvas to full res.
+
+    Split out so multi-device renderers can combine per-device COARSE
+    canvases first — the screen-blend product does not commute with
+    bilinear resampling."""
+    s_full = opts.canvas_size
+    alpha = jax.image.resize(alpha, (s_full, s_full), "linear")
+    if rgb is not None and rgb.ndim == 3:
+        rgb = jax.image.resize(rgb, (s_full, s_full, 3), "linear")
+    return alpha, rgb
 
 
 # ------------------------------------------------------- post-process passes --

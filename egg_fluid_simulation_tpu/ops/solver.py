@@ -110,6 +110,12 @@ class SolverOptions:
                                     # plane-resident across steps, rebinning
                                     # only when accumulated drift exceeds
                                     # cell_size/4 (see _population_multi_dense)
+    rebin_tolerance: float = 1e-3   # fraction of live particles allowed past
+                                    # the drift bound before a rebin fires;
+                                    # outliers meanwhile lose pairs exactly
+                                    # like budget-dropped particles (the
+                                    # reference's own 0.05 n^2 cutoff drops
+                                    # far more at scale). 0.0 = strict.
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
@@ -676,15 +682,26 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
     def body(carry, _):
         planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = carry
         # max squared drift since bin time: plane-resident particles ...
-        dxp = planes[dense_ops.FIELD_X] - ref_xy[0]
-        dyp = planes[dense_ops.FIELD_Y] - ref_xy[1]
-        drift2 = jnp.max(dxp * dxp + dyp * dyp)
+        # Drift is measured RELATIVE to the population-mean displacement:
+        # a uniform translation shifts every true cell equally, so relative
+        # adjacency — the only thing the 3x3 window needs — is untouched
+        # (torus cells are translation-covariant). Only differential motion
+        # can invalidate pair sets.
+        occ = planes[dense_ops.FIELD_OCC]
+        n_occ = jnp.maximum(jnp.sum(occ), 1.0)
+        dxp = (planes[dense_ops.FIELD_X] - ref_xy[0]) * occ
+        dyp = (planes[dense_ops.FIELD_Y] - ref_xy[1]) * occ
+        mx = jnp.sum(dxp) / n_occ
+        my = jnp.sum(dyp) / n_occ
+        rel2 = (dxp - mx * occ) ** 2 + (dyp - my * occ) ** 2
+        n_over = jnp.sum(rel2 > drift_thresh2)
         # ... plus the fallback-integrated (budget-dropped) live particles
         dropped = act & (slot >= g * lanes)
-        dfb = fb_p - fb_ref
-        drift2 = jnp.maximum(drift2, jnp.max(jnp.where(
-            dropped, jnp.sum(dfb * dfb, axis=1), 0.0)))
-        need = drift2 > drift_thresh2
+        dfb = fb_p - fb_ref - jnp.stack([mx, my])
+        n_over = n_over + jnp.sum(
+            dropped & (jnp.sum(dfb * dfb, axis=1) > drift_thresh2))
+        n_live = jnp.maximum(jnp.sum(act), 1)
+        need = n_over > options.rebin_tolerance * n_live
 
         def rebin(c):
             planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
@@ -869,6 +886,187 @@ def step(state: ParticleState, cfg2: DeviceConfig, step_delta: jnp.ndarray,
     edits and dt changes never recompile; only ``options`` is static.
     """
     return _step_impl(state, cfg2, step_delta, relaxation, options)
+
+
+def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
+                      relaxation, options: SolverOptions, n_steps: int,
+                      frame_fn):
+    """Resident frame loop: one fixed step then ``frame_fn`` per iteration.
+
+    The device-side analog of an interactive app's update->draw loop (and
+    the honest step+render benchmark): the dense state stays plane-resident
+    across frames with drift-adaptive rebinning exactly like
+    :func:`multi_step`, and after each step the extracted particle state is
+    handed to ``frame_fn(state, stats) -> scalar`` (typically a render whose
+    output is reduced); the scalar accumulates into the returned total so
+    nothing can be dead-code-eliminated. ``stats`` carries the centroid /
+    last-centroid fields the renderer consumes; AABB-class fields are zero
+    (canvas buckets are chosen on the host before the loop).
+
+    Returns ``(final_state, total)``. Requires the adaptive-resident
+    preconditions (dense engine, ``budget_mode='off'``,
+    ``dense_rebin='step'``). Not jitted here — close over it or jit the
+    caller.
+    """
+    assert (options.engine == "dense" and options.dense_rebin == "step"
+            and options.budget_mode == "off"), (
+        "multi_step_frames requires the plane-resident dense configuration")
+    capacity = state.capacity
+    caps = options.pop_caps or (capacity, capacity)
+    caps = tuple(min(c, capacity) for c in caps)
+    sub_dt = jnp.maximum(step_delta / options.n_substeps, EPS)
+    active_full = state.active_mask()
+    follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))
+    n_sub = options.n_substeps
+    cohesion = options.cohesion_mode == "spacing"
+    from .pallas import place_kernel
+    use_placement = options.use_pallas and place_kernel.on_tpu()
+
+    pops = []
+    for i in range(2):
+        cap = caps[i]
+        cfg = jax.tree.map(lambda a: a[i], cfg2)
+        g, k = options.dense_grid_dim[i], options.dense_slots[i]
+        act = active_full[i, :cap]
+        mass_t = state.mass_t[i, :cap]
+        batch_slot = state.batch_slot[i, :cap]
+        damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
+        mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
+        inv_mass = jnp.where(act, 1.0 / jnp.maximum(mass, 1e-12), 0.0)
+        radius = jnp.where(act, jnp_mix(cfg.min_radius, cfg.max_radius,
+                                        mass_t), 0.0)
+        follow_c = strength_to_compliance(cfg.follow_strength, sub_dt)
+        collision_c = strength_to_compliance(cfg.collision_strength, sub_dt)
+        cohesion_c = strength_to_compliance(cfg.cohesion_strength, sub_dt)
+        cell_size, params = _dense_params(cfg, act, collision_c, cohesion_c,
+                                          options)
+        rows3 = take_batch_rows(
+            jnp.concatenate([state.batch_target,
+                             follow_radius[i][:, None]], axis=1), batch_slot)
+        pops.append(dict(
+            i=i, cap=cap, g=g, k=k, act=act, batch_slot=batch_slot,
+            inv_mass=inv_mass, radius=radius, damp=damp, follow_c=follow_c,
+            cell_size=cell_size, params=params,
+            tx=rows3[:, 0], ty=rows3[:, 1], td=2.0 * rows3[:, 2]))
+
+    def bin_now(p, v, pp):
+        aux_cols = jnp.stack([p[:, 0], p[:, 1], v[:, 0], v[:, 1],
+                              pp["tx"], pp["ty"], pp["td"]], axis=1)
+        binning = dense_ops.bin_to_planes(
+            p, pp["inv_mass"], pp["radius"], pp["batch_slot"], pp["act"],
+            pp["cell_size"], grid_dim=pp["g"], slots_per_cell=pp["k"],
+            aux_cols=aux_cols, use_placement=use_placement)
+        return binning.planes, binning.aux, binning.slot, binning.planes[:2]
+
+    def merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp):
+        p_pl, prev_pl, v_pl, in_grid = _plane_extract(
+            planes, aux, slot, pp["g"], pp["g"] * pp["k"])
+        sel = (in_grid & pp["act"])[:, None]
+        return (jnp.where(sel, p_pl, fb_p), jnp.where(sel, prev_pl, fb_prev),
+                jnp.where(sel, v_pl, fb_v))
+
+    def fb_steps(p, v, pp):
+        pr = p
+        for _ in range(n_sub):
+            v = v * pp["damp"]
+            pr = p
+            p = p + sub_dt * v
+            fdx, fdy = _follow_delta(p[:, 0], p[:, 1], pp["inv_mass"],
+                                     pp["act"], pp["tx"], pp["ty"], pp["td"],
+                                     pp["follow_c"])
+            p = p + jnp.stack([fdx, fdy], axis=1)
+            v = (p - pr) / sub_dt
+        return p, pr, v
+
+    def pop_body(c, pp):
+        planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
+        thresh2 = (0.25 * pp["cell_size"]) ** 2
+        # relative-to-mean drift: uniform translation preserves relative
+        # torus adjacency (see _population_multi_dense)
+        occ = planes[dense_ops.FIELD_OCC]
+        n_occ = jnp.maximum(jnp.sum(occ), 1.0)
+        dxp = (planes[dense_ops.FIELD_X] - ref_xy[0]) * occ
+        dyp = (planes[dense_ops.FIELD_Y] - ref_xy[1]) * occ
+        mx = jnp.sum(dxp) / n_occ
+        my = jnp.sum(dyp) / n_occ
+        rel2 = (dxp - mx * occ) ** 2 + (dyp - my * occ) ** 2
+        n_over = jnp.sum(rel2 > thresh2)
+        dropped = pp["act"] & (slot >= pp["g"] * pp["g"] * pp["k"])
+        dfb = fb_p - fb_ref - jnp.stack([mx, my])
+        n_over = n_over + jnp.sum(
+            dropped & (jnp.sum(dfb * dfb, axis=1) > thresh2))
+        n_live = jnp.maximum(jnp.sum(pp["act"]), 1)
+
+        def rebin(c):
+            planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
+            p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
+            planes2, aux2, slot2, ref2 = bin_now(p, v, pp)
+            return (planes2, aux2, slot2, ref2, p, pr, v, p)
+
+        c = jax.lax.cond(n_over > options.rebin_tolerance * n_live,
+                         rebin, lambda c: c, c)
+        planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
+        planes, aux = _plane_run(planes, aux, pp["damp"], pp["follow_c"],
+                                 pp["params"], sub_dt, relaxation, options,
+                                 pp["g"], pp["k"], n_sub,
+                                 cohesion=cohesion, ordered=False)
+        fb_p, fb_prev, fb_v = fb_steps(fb_p, fb_v, pp)
+        return (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref)
+
+    def body(carry, _):
+        pop_carries, prev_centroid, acc = carry
+        pop_carries = tuple(pop_body(c, pp)
+                            for c, pp in zip(pop_carries, pops))
+        new_state = state
+        cents = []
+        for pp, c in zip(pops, pop_carries):
+            i, cap = pp["i"], pp["cap"]
+            planes, aux, slot, _, fb_p, fb_prev, fb_v, _ = c
+            p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
+            new_state = new_state.replace(
+                pos=new_state.pos.at[i, :cap].set(p),
+                prev=new_state.prev.at[i, :cap].set(pr),
+                vel=new_state.vel.at[i, :cap].set(v))
+            n_a = jnp.maximum(jnp.sum(pp["act"]), 1)
+            cents.append(jnp.sum(jnp.where(pp["act"][:, None], p, 0.0),
+                                 axis=0) / n_a)
+        centroid = jnp.stack(cents)
+        z2 = jnp.zeros((2, 2), jnp.float32)
+        z1 = jnp.zeros((2,), jnp.float32)
+        stats = StepStats(aabb_min=z2, aabb_max=z2, centroid=centroid,
+                          last_centroid=prev_centroid,
+                          max_radius=jnp.ones((2,), jnp.float32),
+                          max_velocity=z1,
+                          batch_pos_sum=jnp.zeros(
+                              (2, state.max_batches, 2), jnp.float32),
+                          batch_count=jnp.zeros((2, state.max_batches),
+                                                jnp.float32))
+        acc = acc + frame_fn(new_state, stats)
+        return (pop_carries, centroid, acc), None
+
+    init_pops = []
+    for pp in pops:
+        i, cap = pp["i"], pp["cap"]
+        p0 = state.pos[i, :cap]
+        v0 = state.vel[i, :cap]
+        planes, aux, slot, ref = bin_now(p0, v0, pp)
+        init_pops.append((planes, aux, slot, ref, p0, p0, v0, p0))
+    n_a0 = jnp.maximum(jnp.sum(active_full, axis=1), 1)
+    cent0 = (jnp.sum(jnp.where(active_full[..., None], state.pos, 0.0),
+                     axis=1) / n_a0[:, None])
+    carry = (tuple(init_pops), cent0, jnp.float32(0.0))
+    (pop_carries, centroid, acc), _ = jax.lax.scan(body, carry, None,
+                                                   length=n_steps)
+    new_state = state
+    for pp, c in zip(pops, pop_carries):
+        i, cap = pp["i"], pp["cap"]
+        planes, aux, slot, _, fb_p, fb_prev, fb_v, _ = c
+        p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
+        new_state = new_state.replace(
+            pos=new_state.pos.at[i, :cap].set(p),
+            prev=new_state.prev.at[i, :cap].set(pr),
+            vel=new_state.vel.at[i, :cap].set(v))
+    return new_state, acc
 
 
 @functools.partial(jax.jit, static_argnames=("options", "n_steps"))

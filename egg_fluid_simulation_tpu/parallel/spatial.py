@@ -605,3 +605,88 @@ def redistribute(state: ParticleState, cfg2_cell_size, lay: SpatialLayout,
         batch_radius=put(host.batch_radius, P()),
         batch_used=put(host.batch_used, P()),
     )
+
+
+# ---------------------------------------------------------- sharded render --
+
+def spatial_draw(mesh: Mesh, lay: SpatialLayout, opts2, viewport,
+                 threshold: float, smoothness: float, use_lighting: bool):
+    """Build a jitted multi-device renderer for spatial-layout states.
+
+    The splat pass distributes perfectly: screen-blend accumulation is
+    ``1 - prod(1 - a_i)`` over particles (ops/render.py), and the product
+    factorizes over devices — each device splats only ITS particles into the
+    full canvas and the per-device canvases combine with one log-space
+    ``psum`` (the only render collective, O(canvas) bytes). The outline /
+    lighting / composite passes then run replicated (identical on every
+    device), so the returned frame is replicated.
+
+    ``opts2``: (white, yolk) RenderOptions (static canvas buckets chosen by
+    the host). Per-particle color mode is not supported sharded (its rgb
+    accumulator also factorizes, but nothing exercises it multi-chip yet).
+
+    Returns ``draw(state, stats, cfg2, interpolation_alpha) -> (H, W, 4)``.
+    Capability note: the reference renders single-GPU only; this is
+    TPU-native added capability, matching ops/render.py's passes exactly
+    (validated against the single-device frame in tests/test_spatial.py).
+    """
+    from ..ops import render as render_ops
+    assert not (opts2[0].use_particle_color or opts2[1].use_particle_color)
+    x, y, vw, vh = viewport
+    vw, vh = int(vw), int(vh)
+    origin = jnp.asarray([x, y], jnp.float32)
+
+    def _body(state: ParticleState, stats: StepStats, cfg2: DeviceConfig,
+              interpolation_alpha):
+        centers = (stats.last_centroid
+                   + (stats.centroid - stats.last_centroid)
+                   * interpolation_alpha)
+        screen_rgb = jnp.zeros((vh, vw, 3), jnp.float32)
+        screen_a = jnp.zeros((vh, vw), jnp.float32)
+        for i in (0, 1):  # white first, then yolk (:2163-2171)
+            opts = opts2[i]
+            cfg = jax.tree.map(lambda a: a[i], cfg2)
+            active = state.batch_slot[i] >= 0
+            alpha_local, _, _ = render_ops.splat_population(
+                state.pos[i], state.last_pos[i], state.vel[i],
+                state.radius[i], state.color[i], active, centers[i],
+                interpolation_alpha, cfg.texture_scale, cfg.motion_blur,
+                opts, upsample=False)
+            # combine device canvases at COARSE resolution (the blend
+            # product does not commute with bilinear resampling):
+            # 1 - prod_dev(1 - a_dev), via one log-space psum
+            log1m = jnp.log(jnp.maximum(1.0 - alpha_local, 1e-30))
+            log1m = jax.lax.psum(jax.lax.psum(log1m, BANDS), BLOCKS)
+            alpha = 1.0 - jnp.exp(log1m)
+            if opts.downsample > 1:
+                alpha, _ = render_ops.upsample_splat(alpha, None, opts)
+            rgba = render_ops.render_population(
+                alpha, None, cfg, jnp.float32(threshold),
+                jnp.float32(smoothness), use_lighting, opts)
+            # paste at the RAW centroid like the reference (:2132-2133) —
+            # only the splat centers on the interpolated centroid
+            corner = stats.centroid[i] - 0.5 * opts.canvas_size - origin
+            cx = jnp.round(corner[0]).astype(jnp.int32)
+            cy = jnp.round(corner[1]).astype(jnp.int32)
+            screen_rgb, screen_a = render_ops._paste_src_over(
+                screen_rgb, screen_a, rgba, cx, cy)
+        return jnp.concatenate([screen_rgb, screen_a[..., None]], axis=-1)
+
+    pvec = P(None, (BANDS, BLOCKS))
+    pmat = P(None, (BANDS, BLOCKS), None)
+    state_specs = ParticleState(
+        pos=pmat, prev=pmat, vel=pmat, last_pos=pmat, radius=pvec,
+        mass_t=pvec, inv_mass=pvec, batch_slot=pvec, color=pmat,
+        count=P(), batch_target=P(), batch_radius=P(), batch_used=P())
+    stats_specs = StepStats(
+        aabb_min=P(), aabb_max=P(), centroid=P(), last_centroid=P(),
+        max_radius=P(), max_velocity=P(), batch_pos_sum=P(), batch_count=P())
+    cfg_specs = jax.tree.map(lambda _: P(), DeviceConfig(
+        *([0.0] * 15), jnp.zeros(4), jnp.zeros(4)))
+
+    from ._compat import shard_map_compat
+    fn = shard_map_compat(
+        _body, mesh=mesh,
+        in_specs=(state_specs, stats_specs, cfg_specs, P()),
+        out_specs=P())
+    return jax.jit(fn)

@@ -239,3 +239,26 @@ def test_warmup_has_no_side_effects():
     h.warmup(viewport=(0.0, 0.0, 128, 128))
     np.testing.assert_array_equal(np.asarray(h.state.pos), pos_before)
     assert h.interpolation_alpha == 0.0
+
+
+def test_update_kwarg_alternation_compiles_once_per_variant():
+    """update(n_substeps=..., n_collision_steps=...) swaps static
+    SolverOptions; repeated ALTERNATION must hit the jit cache, not retrace
+    (each distinct variant compiles exactly once — the reference never
+    recompiles, so the analog cost must be one-time)."""
+    from egg_fluid_simulation_tpu.ops import solver as solver_ops
+    from egg_fluid_simulation_tpu import SolverOptions as _SolverOptions
+
+    h = SimulationHandler(default_white_config(), default_yolk_config(),
+                          capacity=256, max_batches=4,
+                          options=_SolverOptions(engine="gather",
+                                                 table_size=1024,
+                                                 slots_per_cell=8))
+    h.add(10.0, 10.0, 15.0, 5.0, None, None, 20, 5)
+    h.update(1 / 30)                      # default 2x3
+    h.update(1 / 30, n_substeps=3)        # variant compiles once
+    base = solver_ops.step._cache_size()
+    for _ in range(4):
+        h.update(1 / 30)
+        h.update(1 / 30, n_substeps=3)
+    assert solver_ops.step._cache_size() == base

@@ -194,3 +194,31 @@ def test_particle_count_preserved_over_many_steps(mesh22):
         assert np.asarray(info)[:, 0].sum() == 0
     for i in range(2):
         assert (np.asarray(st.batch_slot[i]) >= 0).sum() == want[i]
+
+
+def test_spatial_draw_matches_single_device_frame(mesh22):
+    """Sharded render: per-device splats combined with the log-psum product
+    must reproduce the single-device frame (same passes, same state)."""
+    from egg_fluid_simulation_tpu.ops import render as render_ops
+
+    h = _handler(options=OPTIONS_FAST, spread=True)
+    h.run_steps(3)
+    lay, mesh, _ = mesh22
+    st = S.redistribute(h.state, _cell_sizes(h), lay, mesh)
+
+    opts2 = tuple(render_ops.auto_render_options(cfg, 256)
+                  for cfg in (h._white_config, h._yolk_config))
+    viewport = (0.0, 0.0, 256, 256)
+    stats = h.stats
+    cfg2 = h._device_cfg2()
+
+    draw = S.spatial_draw(mesh, lay, opts2, viewport, 0.3, 0.01, True)
+    got = np.asarray(draw(st, stats, cfg2, jnp.float32(1.0)))
+
+    want, _, _ = render_ops._render_frame(
+        h.state, stats, cfg2, jnp.float32(1.0), jnp.float32(0.3),
+        jnp.float32(0.01), jnp.asarray([0.0, 0.0], jnp.float32),
+        opts2, True, 256, 256)
+    want = np.asarray(want)
+    assert got.shape == want.shape == (256, 256, 4)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
