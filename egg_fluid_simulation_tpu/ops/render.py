@@ -434,17 +434,19 @@ _OUTLINE_DIRECTIONS = [(1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0),
                        (_DIAG, -_DIAG), (-_DIAG, -_DIAG)]
 
 
-def outline_pass(alpha, outline_thickness, threshold, opts: RenderOptions):
+def outline_pass(alpha, outline_thickness, threshold, opts: RenderOptions,
+                 px_scale: float = 1.0):
     """Morphological 8-direction dilation + smoothstep edge
     (simulation_handler_outline.glsl). Returns outline coverage in [0, 1].
 
     ``opts.max_outline_steps`` is sized to ``ceil(thickness) + 1`` on the
     host (auto_render_options), so the full GLSL step count runs
     (outline.glsl:14-15); masking handles the traced thickness changing
-    below the static bound."""
+    below the static bound. ``px_scale`` > 1 evaluates on a coarse canvas:
+    sample count unchanged, distances in coarse pixels."""
     max_alpha = jnp.zeros_like(alpha)
     steps_f = jnp.ceil(outline_thickness) + 1.0
-    step_size = outline_thickness / steps_f
+    step_size = outline_thickness / (steps_f * px_scale)
     for step in range(1, opts.max_outline_steps + 1):
         use = jnp.float32(step) <= steps_f
         d = jnp.float32(step) * step_size
@@ -468,7 +470,7 @@ _SPECULAR_FOCUS = 48.0
 
 def lighting_pass(alpha, rgb, cfg_color, highlight_strength, shadow_strength,
                   threshold, smoothness, use_lighting: bool,
-                  use_particle_color: bool):
+                  use_particle_color: bool, grad_scale: float = 1.0):
     """Threshold + Sobel-normal Blinn-Phong pass (simulation_handler_lighting.glsl).
 
     Returns (rgb, a) premultiplied-ish exactly as the shader outputs:
@@ -487,8 +489,8 @@ def lighting_pass(alpha, rgb, cfg_color, highlight_strength, shadow_strength,
     tl, tm, tr = z[:-2, :-2], z[:-2, 1:-1], z[:-2, 2:]
     ml, mr = z[1:-1, :-2], z[1:-1, 2:]
     bl, bm, br = z[2:, :-2], z[2:, 1:-1], z[2:, 2:]
-    gx = -tl + tr - 2.0 * ml + 2.0 * mr - bl + br
-    gy = -tl - 2.0 * tm - tr + bl + 2.0 * bm + br
+    gx = (-tl + tr - 2.0 * ml + 2.0 * mr - bl + br) * grad_scale
+    gy = (-tl - 2.0 * tm - tr + bl + 2.0 * bm + br) * grad_scale
 
     inv_len = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
     nx, ny, nz = -gx * inv_len, -gy * inv_len, inv_len
@@ -509,14 +511,21 @@ def lighting_pass(alpha, rgb, cfg_color, highlight_strength, shadow_strength,
 
 def render_population(alpha, rgb, cfg, thresholding_threshold,
                       thresholding_smoothness, use_lighting: bool,
-                      opts: RenderOptions):
-    """Outline + lighting for one population's canvas; returns (S, S, 4) straight
-    RGBA, already internally composited (outline under lighting, :2139-2159)."""
+                      opts: RenderOptions, px_scale: float = 1.0):
+    """Outline + lighting for one population's canvas; returns straight RGBA,
+    already internally composited (outline under lighting, :2139-2159).
+
+    With ``px_scale`` = opts.downsample the passes run on the COARSE splat
+    canvas (distances and gradients corrected to full-res pixels) — the
+    upsampled alpha is pure bilinear interpolation of the coarse data, so
+    evaluating post passes coarse loses nothing the splat still had; the
+    caller upsamples the finished RGBA once."""
     out_rgb = jnp.zeros(alpha.shape + (3,), jnp.float32)
     out_a = jnp.zeros_like(alpha)
 
     # outline (skipped when thickness == 0 via masking rather than branching)
-    coverage = outline_pass(alpha, cfg.outline_thickness, thresholding_threshold, opts)
+    coverage = outline_pass(alpha, cfg.outline_thickness, thresholding_threshold,
+                            opts, px_scale=px_scale)
     coverage = jnp.where(cfg.outline_thickness > 0.0, coverage, 0.0)
     o_rgb = cfg.outline_color[:3] * (coverage * cfg.outline_color[3])[..., None]
     o_a = coverage * cfg.outline_color[3]
@@ -525,7 +534,7 @@ def render_population(alpha, rgb, cfg, thresholding_threshold,
     l_rgb, l_a = lighting_pass(
         alpha, rgb, cfg.color, cfg.highlight_strength, cfg.shadow_strength,
         thresholding_threshold, thresholding_smoothness, use_lighting,
-        opts.use_particle_color)
+        opts.use_particle_color, grad_scale=1.0 / px_scale)
     out_rgb, out_a = _src_over(out_rgb, out_a, l_rgb * jnp.clip(l_a, 0.0, 1.0)[..., None], l_a)
     return jnp.concatenate([out_rgb, out_a[..., None]], axis=-1)
 
@@ -559,9 +568,15 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
         alpha, rgb, overflow = splat_population(
             state.pos[i], state.last_pos[i], state.vel[i], state.radius[i],
             state.color[i], active[i], centers[i], interpolation_alpha,
-            cfg.texture_scale, cfg.motion_blur, opts)
-        return (render_population(alpha, rgb, cfg, threshold, smoothness,
-                                  use_lighting, opts), alpha, overflow)
+            cfg.texture_scale, cfg.motion_blur, opts, upsample=False)
+        rgba = render_population(alpha, rgb, cfg, threshold, smoothness,
+                                 use_lighting, opts,
+                                 px_scale=float(opts.downsample))
+        if opts.downsample > 1:
+            s = opts.canvas_size
+            rgba = jax.image.resize(rgba, (s, s, 4), "linear")
+            alpha = jax.image.resize(alpha, (s, s), "linear")
+        return rgba, alpha, overflow
 
     screen_rgb = jnp.zeros((vh, vw, 3), jnp.float32)
     screen_a = jnp.zeros((vh, vw), jnp.float32)

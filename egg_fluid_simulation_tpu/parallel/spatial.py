@@ -658,11 +658,13 @@ def spatial_draw(mesh: Mesh, lay: SpatialLayout, opts2, viewport,
             log1m = jnp.log(jnp.maximum(1.0 - alpha_local, 1e-30))
             log1m = jax.lax.psum(jax.lax.psum(log1m, BANDS), BLOCKS)
             alpha = 1.0 - jnp.exp(log1m)
-            if opts.downsample > 1:
-                alpha, _ = render_ops.upsample_splat(alpha, None, opts)
             rgba = render_ops.render_population(
                 alpha, None, cfg, jnp.float32(threshold),
-                jnp.float32(smoothness), use_lighting, opts)
+                jnp.float32(smoothness), use_lighting, opts,
+                px_scale=float(opts.downsample))
+            if opts.downsample > 1:
+                s = opts.canvas_size
+                rgba = jax.image.resize(rgba, (s, s, 4), "linear")
             # paste at the RAW centroid like the reference (:2132-2133) —
             # only the splat centers on the interpolated centroid
             corner = stats.centroid[i] - 0.5 * opts.canvas_size - origin
