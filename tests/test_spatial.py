@@ -143,6 +143,7 @@ def test_redistribute_establishes_ownership_invariant():
         assert (dev[live] == idx[live] // c_loc).all()
 
 
+@pytest.mark.slow
 def test_migration_carries_ownership_change(mesh22):
     """A particle pushed across a band boundary is handed to the new owner
     within one step (one mesh hop)."""

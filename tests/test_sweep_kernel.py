@@ -28,8 +28,11 @@ PARAMS = D.SweepParams(jnp.float32(10.0), jnp.float32(50.0), jnp.float32(2.0),
                        jnp.float32(2.0), jnp.float32(1000.0))
 
 
-@pytest.mark.parametrize("cohesion", [False, True])
-@pytest.mark.parametrize("budget", [False, True])
+@pytest.mark.parametrize(
+    "cohesion,budget",
+    [(True, False), (False, True),
+     pytest.param(False, False, marks=pytest.mark.slow),
+     pytest.param(True, True, marks=pytest.mark.slow)])
 def test_sweep_kernel_matches_jnp_model(binning, cohesion, budget):
     ref = D.sweep_planes_jnp(binning.planes, PARAMS, 4, cohesion, budget)
     got = K._sweep_pallas(binning.planes, PARAMS.pack(), 4, cohesion, budget,
