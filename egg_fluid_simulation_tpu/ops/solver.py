@@ -979,50 +979,48 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         return p, pr, v
 
     def pop_body(c, pp):
-        planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
-        thresh2 = (0.25 * pp["cell_size"]) ** 2
-        # relative-to-mean drift: uniform translation preserves relative
-        # torus adjacency (see _population_multi_dense)
-        occ = planes[dense_ops.FIELD_OCC]
-        n_occ = jnp.maximum(jnp.sum(occ), 1.0)
-        dxp = (planes[dense_ops.FIELD_X] - ref_xy[0]) * occ
-        dyp = (planes[dense_ops.FIELD_Y] - ref_xy[1]) * occ
-        mx = jnp.sum(dxp) / n_occ
-        my = jnp.sum(dyp) / n_occ
-        rel2 = (dxp - mx * occ) ** 2 + (dyp - my * occ) ** 2
-        n_over = jnp.sum(rel2 > thresh2)
-        dropped = pp["act"] & (slot >= pp["g"] * pp["g"] * pp["k"])
-        dfb = fb_p - fb_ref - jnp.stack([mx, my])
-        n_over = n_over + jnp.sum(
-            dropped & (jnp.sum(dfb * dfb, axis=1) > thresh2))
-        n_live = jnp.maximum(jnp.sum(pp["act"]), 1)
+        """One fixed step for one population; ONE extraction per frame.
 
-        def rebin(c):
-            planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
-            p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
-            planes2, aux2, slot2, ref2 = bin_now(p, v, pp)
-            return (planes2, aux2, slot2, ref2, p, pr, v, p)
-
-        c = jax.lax.cond(n_over > options.rebin_tolerance * n_live,
-                         rebin, lambda c: c, c)
-        planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
+        Order: plane step -> extract (the render needs it anyway) -> rebin
+        FROM the extracted arrays if drift demands (so next frame's step
+        runs on fresh bins without a second extraction)."""
+        planes, aux, slot, ref_p, fb_p, fb_prev, fb_v = c
         planes, aux = _plane_run(planes, aux, pp["damp"], pp["follow_c"],
                                  pp["params"], sub_dt, relaxation, options,
                                  pp["g"], pp["k"], n_sub,
                                  cohesion=cohesion, ordered=False)
         fb_p, fb_prev, fb_v = fb_steps(fb_p, fb_v, pp)
-        return (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref)
+        p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
+
+        # relative-to-mean drift vs bin-time positions (per particle)
+        thresh2 = (0.25 * pp["cell_size"]) ** 2
+        act = pp["act"]
+        d = p - ref_p
+        n_live = jnp.maximum(jnp.sum(act), 1)
+        mean_d = (jnp.sum(jnp.where(act[:, None], d, 0.0), axis=0)
+                  / n_live)
+        rel2 = jnp.sum((d - mean_d) ** 2, axis=1)
+        n_over = jnp.sum(act & (rel2 > thresh2))
+
+        def rebin(op):
+            planes, aux, slot, ref_p = op
+            planes2, aux2, slot2, _ = bin_now(p, v, pp)
+            return (planes2, aux2, slot2, p)
+
+        planes, aux, slot, ref_p = jax.lax.cond(
+            n_over > options.rebin_tolerance * n_live,
+            rebin, lambda op: op, (planes, aux, slot, ref_p))
+        return (planes, aux, slot, ref_p, p, pr, v), (p, pr, v)
 
     def body(carry, _):
         pop_carries, prev_centroid, acc = carry
-        pop_carries = tuple(pop_body(c, pp)
-                            for c, pp in zip(pop_carries, pops))
         new_state = state
         cents = []
+        outs = []
         for pp, c in zip(pops, pop_carries):
             i, cap = pp["i"], pp["cap"]
-            planes, aux, slot, _, fb_p, fb_prev, fb_v, _ = c
-            p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
+            c2, (p, pr, v) = pop_body(c, pp)
+            outs.append(c2)
             new_state = new_state.replace(
                 pos=new_state.pos.at[i, :cap].set(p),
                 prev=new_state.prev.at[i, :cap].set(pr),
@@ -1030,6 +1028,7 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
             n_a = jnp.maximum(jnp.sum(pp["act"]), 1)
             cents.append(jnp.sum(jnp.where(pp["act"][:, None], p, 0.0),
                                  axis=0) / n_a)
+        pop_carries = tuple(outs)
         centroid = jnp.stack(cents)
         z2 = jnp.zeros((2, 2), jnp.float32)
         z1 = jnp.zeros((2,), jnp.float32)
@@ -1049,8 +1048,8 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         i, cap = pp["i"], pp["cap"]
         p0 = state.pos[i, :cap]
         v0 = state.vel[i, :cap]
-        planes, aux, slot, ref = bin_now(p0, v0, pp)
-        init_pops.append((planes, aux, slot, ref, p0, p0, v0, p0))
+        planes, aux, slot, _ = bin_now(p0, v0, pp)
+        init_pops.append((planes, aux, slot, p0, p0, p0, v0))
     n_a0 = jnp.maximum(jnp.sum(active_full, axis=1), 1)
     cent0 = (jnp.sum(jnp.where(active_full[..., None], state.pos, 0.0),
                      axis=1) / n_a0[:, None])
@@ -1060,8 +1059,7 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
     new_state = state
     for pp, c in zip(pops, pop_carries):
         i, cap = pp["i"], pp["cap"]
-        planes, aux, slot, _, fb_p, fb_prev, fb_v, _ = c
-        p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
+        planes, aux, slot, ref_p, p, pr, v = c
         new_state = new_state.replace(
             pos=new_state.pos.at[i, :cap].set(p),
             prev=new_state.prev.at[i, :cap].set(pr),
