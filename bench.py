@@ -122,7 +122,7 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
     def frame_fn(state, stats):
         frame, _, _ = render_ops._render_frame(
             state, stats, cfg2, jnp.float32(1.0), thr, smooth, origin,
-            opts2, use_lighting, vw, vh)
+            opts2, use_lighting, vw, vh, pop_caps=options.pop_caps)
         return jnp.sum(frame)
 
     @jax.jit
