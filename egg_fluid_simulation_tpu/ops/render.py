@@ -220,6 +220,8 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     # order, so the table is a (n_bins+1, k) window gather from segment
     # starts (a few thousand binary-search queries) — an (N,) element
     # scatter here cost ~5 ms at 1M particles.
+    # (measured: binary-search 'scan' beats both method='sort' and a
+    # scatter-min/cummin edge build at 131k-1M keys for ~3k queries)
     edges = jnp.searchsorted(bucket_sorted,
                              jnp.arange(n_bins + 2, dtype=jnp.int32)
                              ).astype(jnp.int32)
@@ -228,6 +230,9 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     overflow = jnp.sum(jnp.maximum(counts[:n_bins] - k, 0))
     pos_in = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
     valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
+    # row n_bins backs out-of-canvas window positions and must stay empty
+    valid = valid & (jnp.arange(n_bins + 1, dtype=jnp.int32)
+                     < n_bins)[:, None]
     table = jnp.where(valid,
                       pidx_sorted[jnp.minimum(pos_in, n - 1)], -1)
     return table, overflow
