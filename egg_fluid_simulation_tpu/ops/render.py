@@ -37,8 +37,9 @@ TPU-native design decisions (not a port):
   (256/512/1024/2048) and clamped at 2560 exactly like the reference
   (:1953-1954). Static buckets keep XLA shapes stable: crossing a bucket
   recompiles once, staying inside never does.
-- Fractional-pixel canvas placement is rounded to the nearest pixel during
-  compositing (<=0.5px deviation; the reference bilinearly resamples).
+- Fractional-pixel canvas placement resolves the sub-pixel part with a
+  4-tap bilinear shift before compositing, matching the reference's linear
+  canvas resample (:2132-2133).
 """
 
 from __future__ import annotations
@@ -606,14 +607,34 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
         rgba, raw_alpha, overflow = pop_canvas(i, opts2[i])
         canvases.append(raw_alpha)
         overflows.append(overflow)
-        # canvas top-left in viewport pixels (reference :2132-2133), rounded
+        # canvas top-left in viewport pixels (reference :2132-2133); the
+        # fractional part is resolved by a 4-tap bilinear shift of the
+        # canvas, matching the reference's bilinear canvas resample
         corner = stats.centroid[i] - 0.5 * opts2[i].canvas_size - viewport_origin
-        cx = jnp.round(corner[0]).astype(jnp.int32)
-        cy = jnp.round(corner[1]).astype(jnp.int32)
-        screen_rgb, screen_a = _paste_src_over(screen_rgb, screen_a, rgba, cx, cy)
+        screen_rgb, screen_a = _paste_src_over_frac(screen_rgb, screen_a,
+                                                    rgba, corner)
 
     frame = jnp.concatenate([screen_rgb, screen_a[..., None]], axis=-1)
     return frame, tuple(canvases), jnp.stack(overflows)
+
+
+def _paste_src_over_frac(dst_rgb, dst_a, src_rgba, corner):
+    """Fractional-position paste: bilinear-shift the canvas by the corner's
+    fractional part (the reference places canvases at float coordinates and
+    lets the GPU's linear filter resample, :2132-2133), then integer-paste."""
+    ci = jnp.floor(corner)
+    frac = corner - ci                                       # in [0, 1)
+    fx, fy = frac[0], frac[1]
+    # sample src at (q - frac): 4-tap bilinear of integer shifts 0 / -1
+    p = jnp.pad(src_rgba, ((1, 1), (1, 1), (0, 0)))
+    s00 = p[1:-1, 1:-1]
+    s01 = p[1:-1, :-2]                                       # x-1
+    s10 = p[:-2, 1:-1]                                       # y-1
+    s11 = p[:-2, :-2]
+    shifted = (s00 * (1 - fx) * (1 - fy) + s01 * fx * (1 - fy)
+               + s10 * (1 - fx) * fy + s11 * fx * fy)
+    return _paste_src_over(dst_rgb, dst_a, shifted,
+                           ci[0].astype(jnp.int32), ci[1].astype(jnp.int32))
 
 
 def _paste_src_over(dst_rgb, dst_a, src_rgba, x0, y0):

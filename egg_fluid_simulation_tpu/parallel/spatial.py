@@ -668,10 +668,8 @@ def spatial_draw(mesh: Mesh, lay: SpatialLayout, opts2, viewport,
             # paste at the RAW centroid like the reference (:2132-2133) —
             # only the splat centers on the interpolated centroid
             corner = stats.centroid[i] - 0.5 * opts.canvas_size - origin
-            cx = jnp.round(corner[0]).astype(jnp.int32)
-            cy = jnp.round(corner[1]).astype(jnp.int32)
-            screen_rgb, screen_a = render_ops._paste_src_over(
-                screen_rgb, screen_a, rgba, cx, cy)
+            screen_rgb, screen_a = render_ops._paste_src_over_frac(
+                screen_rgb, screen_a, rgba, corner)
         return jnp.concatenate([screen_rgb, screen_a[..., None]], axis=-1)
 
     pvec = P(None, (BANDS, BLOCKS))

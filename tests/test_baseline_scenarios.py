@@ -99,17 +99,27 @@ def test_config4_parameter_extremes_stay_finite(over):
 
 
 def test_config5_many_batch_render_pipeline():
-    h = _handler(capacity=8192, canvas_size=256)
+    # adaptive AABB canvas (default): the scene spans ~640px, so the canvas
+    # bucket must grow to cover EVERY batch — gated below per batch, not by
+    # a single max-alpha probe (round-1 verdict item 3)
+    h = _handler(capacity=8192)
+    centers = []
     for i in range(64):
-        h.add((i % 8) * 80.0, (i // 8) * 80.0, 8.0, 2.5, None, None, 8, 2)
+        x, y = (i % 8) * 80.0 + 40.0, (i // 8) * 80.0 + 40.0
+        h.add(x, y, 8.0, 2.5, None, None, 8, 2)
+        centers.append((x, y))
     timer = profiling.StepTimer()
     frame = None
     for _ in range(5):
         with timer.phase("frame"):
             h.update(1 / 60)
-            frame = h.draw(viewport=(0.0, 0.0, 640, 640))
+            frame = h.draw(viewport=(0.0, 0.0, 720, 720))
     frame = np.asarray(frame)
-    assert frame.shape == (640, 640, 4)
+    assert frame.shape == (720, 720, 4)
     assert np.isfinite(frame).all()
-    assert frame[..., 3].max() > 0.5        # something actually rendered
+    # every batch must be visible: probe a 9x9 window around each centroid
+    for j, (x, y) in enumerate(centers):
+        yy, xx = int(round(y)), int(round(x))
+        win = frame[max(yy - 4, 0):yy + 5, max(xx - 4, 0):xx + 5, 3]
+        assert win.max() > 0.3, f"batch {j} at ({x},{y}) not visible"
     assert timer.summary()["frame"]["n"] == 5
