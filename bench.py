@@ -19,6 +19,8 @@ Honest measurement rules:
   - **Dependence-chained device time.** All timings run N iterations inside
     ONE dispatch (``lax.scan``) and divide; a per-call loop would measure the
     host<->device round trip (~27 ms on tunneled runtimes), not the work.
+    Chains are long (10-100) so the single unavoidable RTT per trial biases
+    the per-iteration number by well under a millisecond.
   - **The scene is physically packed and actually rendered.** Batches tile at
     ~2.2x batch radius so the 1M scene is as compact as collision allows
     (~8000 px across); canvases are the adaptive AABB buckets, which clamp at
@@ -151,7 +153,7 @@ def main() -> None:
     results = {}
 
     # ---- step throughput at 10k and 1M (chained device time) ----
-    for label, n, chain in (("10k", 10_000, 20), ("1m", 1_000_000, 5)):
+    for label, n, chain in (("10k", 10_000, 100), ("1m", 1_000_000, 20)):
         if quick and n > 100_000:
             n = 65_536
         h = build_handler(n)
@@ -164,7 +166,7 @@ def main() -> None:
     # ---- step + render latency at 1M (device-resident frame loop) ----
     h = build_handler(65_536 if quick else 1_000_000)
     total = sum(h.get_n_particles())
-    ms = step_render_ms(h, chain=4, n_trials=5)
+    ms = step_render_ms(h, chain=10, n_trials=5)
     results["step_render_ms_1m"] = round(ms, 3)
     results["render_ms_1m"] = round(ms - results["step_ms_1m"], 3)
 
