@@ -102,7 +102,8 @@ class RenderOptions:
 
 
 def auto_render_options(config: dict, canvas_size: int,
-                        use_particle_color: bool = False) -> RenderOptions:
+                        use_particle_color: bool = False,
+                        density: Optional[float] = None) -> RenderOptions:
     """Derive static render parameters from a (host) population config.
 
     - splat reach: ``max_radius * texture_scale`` quad half-extent, capped at
@@ -141,9 +142,17 @@ def auto_render_options(config: dict, canvas_size: int,
     tile_h = max(tile_h, bin_h)
     tile_w = min(128, eff)
 
+    # per-bin candidate budget from particle density. The collision-spacing
+    # formula is the static fallback; the MEASURED density (particles per
+    # full-res px^2 of the live AABB, passed by frame_options) both catches
+    # over-packed scenes the formula underestimates (silent overflow) and
+    # shrinks the budget for sparse populations (the eval cost per canvas is
+    # proportional to k, irrespective of how many particles exist).
     spacing = 2.0 * config["collision_overlap_factor"] * config["min_radius"] / ds
-    density = 1.0 / max(spacing * spacing * 0.72, 1.0)   # hex-ish packing
-    k = int(math.ceil(bin_h * bin_w * density * 3.0 / 8.0)) * 8
+    d_eff = 1.0 / max(spacing * spacing * 0.72, 1.0)     # hex-ish packing
+    if density is not None and density > 0.0:
+        d_eff = density * ds * ds
+    k = int(math.ceil(bin_h * bin_w * d_eff * 3.0 / 8.0)) * 8
     k = max(16, min(256, k))
 
     thickness = float(config["outline_thickness"])
@@ -664,19 +673,24 @@ def frame_options(handler) -> Tuple[RenderOptions, RenderOptions]:
     velocity padding, reference :1944-1954); also used by benchmarks to
     freeze options for a fully device-resident step+render loop."""
     stats = handler.stats
+    counts = handler.get_n_particles()
     opts = []
     for i, cfg in ((0, handler._white_config), (1, handler._yolk_config)):
+        aabb_min = np.asarray(stats.aabb_min[i])
+        aabb_max = np.asarray(stats.aabb_max[i])
         if handler._canvas_size is not None:
             bucket = int(handler._canvas_size)
         else:
-            aabb_min = np.asarray(stats.aabb_min[i])
-            aabb_max = np.asarray(stats.aabb_max[i])
             bucket = pick_canvas_bucket(
                 aabb_min, aabb_max,
                 cfg["max_radius"] * cfg["texture_scale"],
                 float(stats.max_velocity[i]), cfg["motion_blur"], None)
+        area = float(max(aabb_max[0] - aabb_min[0], 1.0)
+                     * max(aabb_max[1] - aabb_min[1], 1.0))
+        density = counts[i] / area if area > 1.0 else None
         opts.append(auto_render_options(
-            cfg, bucket, use_particle_color=handler._use_particle_color))
+            cfg, bucket, use_particle_color=handler._use_particle_color,
+            density=density))
     return tuple(opts)
 
 
