@@ -615,7 +615,7 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
 def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
                             follow_rows, sub_dt, relaxation,
                             options: SolverOptions, g: int, k: int,
-                            n_steps: int):
+                            n_steps):
     """``n_steps`` whole fixed steps with ADAPTIVE plane residency.
 
     The dense state stays in grid layout across steps; a fresh binning (sort
@@ -721,7 +721,11 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
 
     planes, aux, slot, ref_xy = bin_now(pos, vel)
     carry = (planes, aux, slot, ref_xy, pos, pos, vel, pos)
-    carry, _ = jax.lax.scan(body, carry, None, length=n_steps)
+    # fori_loop with a TRACED count: one compile serves every n_steps (the
+    # resident graph costs minutes to compile; a lax.scan would key the jit
+    # cache on the static length)
+    carry = jax.lax.fori_loop(0, n_steps, lambda _, c: body(c, None)[0],
+                              carry)
     planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = carry
     p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v)
     return p, pr, v, inv_mass, radius
@@ -1067,9 +1071,9 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
     return new_state, acc
 
 
-@functools.partial(jax.jit, static_argnames=("options", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("options",))
 def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
-               relaxation, options: SolverOptions, n_steps: int
+               relaxation, options: SolverOptions, n_steps
                ) -> Tuple[ParticleState, StepStats]:
     """``n_steps`` dependence-chained fixed steps in ONE dispatch.
 
@@ -1094,9 +1098,10 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
             state.batch_slot[i, :caps[i]])
         for i in range(2))
 
+    n_steps = jnp.asarray(n_steps, jnp.int32)
     use_resident = (options.engine == "dense" and options.dense_rebin == "step"
-                    and options.budget_mode == "off" and options.adaptive_rebin
-                    and n_steps > 1)
+                    and options.budget_mode == "off"
+                    and options.adaptive_rebin)
     if use_resident:
         # plane-resident fast-forward: n_steps-1 steps with drift-adaptive
         # rebinning, then one fully-binned step for stats/last_pos
@@ -1112,7 +1117,7 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
                 state.mass_t[i, :cap], state.batch_slot[i, :cap],
                 active_full[i, :cap], cfg, follow_rows[i], sub_dt,
                 relaxation, options, options.dense_grid_dim[i],
-                options.dense_slots[i], n_steps - 1)
+                options.dense_slots[i], jnp.maximum(n_steps - 1, 0))
             new_pos = new_pos.at[i, :cap].set(p)
             new_prev = new_prev.at[i, :cap].set(pr)
             new_vel = new_vel.at[i, :cap].set(v)
@@ -1120,12 +1125,12 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
             new_rad = new_rad.at[i, :cap].set(rad)
         state = state.replace(pos=new_pos, prev=new_prev, vel=new_vel,
                               inv_mass=new_inv, radius=new_rad)
-    elif n_steps > 1:
-        def body(s, _):
+    else:
+        def body(_, s):
             s2, _none = _step_impl(s, cfg2, step_delta, relaxation, options,
                                    with_stats=False, follow_rows=follow_rows)
-            return s2, None
+            return s2
 
-        state, _ = jax.lax.scan(body, state, None, length=n_steps - 1)
+        state = jax.lax.fori_loop(0, jnp.maximum(n_steps - 1, 0), body, state)
     return _step_impl(state, cfg2, step_delta, relaxation, options,
                       with_stats=True, follow_rows=follow_rows)
