@@ -265,3 +265,4 @@ def test_auto_options_pick_downsample_for_big_splats():
     cfg_small = dict(cfg, max_radius=3.0, texture_scale=2.0)
     o2 = R.auto_render_options(cfg_small, 2048)
     assert o2.downsample == 1
+
