@@ -87,7 +87,11 @@ class SpatialLayout(NamedTuple):
 
     @property
     def lp(self) -> int:
-        return 2 * self.slots_per_cell           # halo lanes per side
+        # halo lanes per side: >= the 2K-1 roll reach, rounded up to the
+        # 64-lane half-tile so the padded width stays lane-tile aligned for
+        # the Pallas sweep kernel; 64 % K == 0 keeps the lane mask's
+        # K-periodicity in phase
+        return max(2 * self.slots_per_cell, 64)
 
     def check(self):
         assert self.grid_dim % self.db == 0 and self.grid_dim % self.dx == 0
@@ -223,15 +227,20 @@ def _bin_local(pos, inv_mass, radius, batch_slot, active, cell_size,
 
 # ----------------------------------------------------------- plane sweep --
 
-def _sweep_local(planes, params, lay: SpatialLayout, cohesion: bool):
+def _sweep_local(planes, params, lay: SpatialLayout, cohesion: bool,
+                 use_pallas: bool):
     """Jacobi pair sweep over the local padded window. (2, Gb, W) corrections.
 
-    Reuses the single-chip lane-roll sweep (ops/dense.py sweep_planes_jnp):
-    the lane mask is K-periodic and the halo width is a multiple of K, so
-    local lane phase equals global lane phase; halo lanes receive garbage
-    corrections that the subsequent halo refresh overwrites."""
-    return dense_ops.sweep_planes_jnp(planes, params, lay.slots_per_cell,
-                                      cohesion=cohesion, ordered_budget=False)
+    Reuses the single-chip lane-roll sweep: the lane mask is K-periodic and
+    the halo width is a multiple of K, so local lane phase equals global
+    lane phase; halo lanes receive garbage corrections that the subsequent
+    halo refresh overwrites. On TPU this runs the production Pallas kernel
+    (the padded width is lane-tile aligned by ``SpatialLayout.lp``); off-TPU
+    it falls back to the jnp golden model automatically."""
+    from ..ops.pallas import sweep_kernel
+    return sweep_kernel.sweep_planes(planes, params, lay.slots_per_cell,
+                                     cohesion=cohesion, ordered_budget=False,
+                                     use_pallas=use_pallas)
 
 
 # ------------------------------------------------------------- migration --
@@ -370,7 +379,8 @@ def spatial_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
                             .at[dense_ops.FIELD_Y].set(y + dy))
 
             def collision_pass(_, pl):
-                corr = _sweep_local(pl, params, lay, cohesion)
+                corr = _sweep_local(pl, params, lay, cohesion,
+                                    options.use_pallas)
                 pl = (pl.at[dense_ops.FIELD_X, RP:RP + lay.gb]
                         .add(relaxation * corr[0])
                         .at[dense_ops.FIELD_Y, RP:RP + lay.gb]
