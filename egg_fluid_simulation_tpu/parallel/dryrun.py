@@ -89,8 +89,11 @@ def main(n_devices: int) -> None:
     np.testing.assert_allclose(np.asarray(sp_stats.centroid),
                                np.asarray(ref2_stats.centroid),
                                rtol=1e-4, atol=1e-3)
+    cb = lay.collective_bytes_per_step(sp_opts)
     print(f"dryrun_multichip: ({db}x{dx})-mesh 2D spatial dense step OK, "
-          f"halo exchange + migration, centroid matches single-chip")
+          f"halo exchange + migration, centroid matches single-chip; "
+          f"ICI bytes/step/device: {cb['total_per_step']:,} "
+          f"(vs O(total particles) for the 1D all-gather layer)")
 
 
 if __name__ == "__main__":

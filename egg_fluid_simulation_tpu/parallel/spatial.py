@@ -98,6 +98,32 @@ class SpatialLayout(NamedTuple):
         assert self.gb >= RP, "band height must cover the row halo"
         assert self.gx >= 2, "block must span at least 2 cell columns"
 
+    def collective_bytes_per_step(self, options) -> dict:
+        """Per-device ICI bytes moved by one spatial step (analytic).
+
+        The point of the 2D decomposition: every collective is O(boundary).
+        Full-field halo exchange once per binning (N_FIELDS + N_AUX planes),
+        X/Y-only refresh after each collision pass, and two fixed-size
+        migration buffers per axis. Compare with the 1D layer's all-gather of
+        ~16 bytes x total particles per collision pass."""
+        from ..ops import dense as dense_ops
+        from ..ops import solver as solver_ops
+        width = self.lb + 2 * self.lp
+        rows = self.gb + 2 * RP
+        n_fields = dense_ops.N_FIELDS + solver_ops.N_AUX
+        row_halo = 2 * RP * width * 4          # one plane, both directions
+        lane_halo = 2 * self.lp * rows * 4
+        full_exchange = n_fields * (row_halo + lane_halo)
+        xy_refresh = 2 * (row_halo + lane_halo)
+        passes = options.n_substeps * options.n_collision_steps
+        migration = 2 * 2 * self.migrate_cap * (_MIG_FIELDS + 2) * 4
+        return {
+            "full_halo_exchange": full_exchange,
+            "xy_refresh_per_pass": xy_refresh,
+            "migration": migration,
+            "total_per_step": full_exchange + passes * xy_refresh + migration,
+        }
+
 
 def make_spatial_mesh(db: int, dx: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

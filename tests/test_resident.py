@@ -89,3 +89,51 @@ def test_resident_fastforward_stats_and_counts():
     stats = h.stats
     assert np.isfinite(np.asarray(stats.centroid)).all()
     assert np.isfinite(np.asarray(stats.aabb_min)).all()
+
+
+@pytest.mark.slow
+def test_multi_step_frames_matches_stepwise_rendering():
+    """The resident frame loop must produce the same frames an app would get
+    from step-then-draw, and the same final state as run_steps."""
+    import jax
+    from egg_fluid_simulation_tpu.ops import render as render_ops
+    from egg_fluid_simulation_tpu.ops import solver as solver_ops
+
+    ha = _handler(adaptive=True)
+    hb = _handler(adaptive=True)
+    opts2 = tuple(render_ops.auto_render_options(cfg, 256)
+                  for cfg in (ha._white_config, ha._yolk_config))
+    cfg2 = ha._device_cfg2()
+    dt, relax = ha._step_scalars(1 / 60)
+    origin = jnp.asarray([0.0, 0.0], jnp.float32)
+
+    sums = []
+
+    def frame_fn(state, stats):
+        frame, _, _ = render_ops._render_frame(
+            state, stats, cfg2, jnp.float32(1.0), jnp.float32(0.3),
+            jnp.float32(0.01), origin, opts2, True, 256, 256)
+        return jnp.sum(frame)
+
+    state, acc = solver_ops.multi_step_frames(
+        ha.state, cfg2, dt, relax, ha._options, 4, frame_fn)
+
+    # reference: stepwise step + render
+    ref_acc = 0.0
+    sb = hb.state
+    for _ in range(4):
+        sb, stats = solver_ops.step(sb, cfg2, dt, relax, hb._options)
+        frame, _, _ = render_ops._render_frame(
+            sb, stats, cfg2, jnp.float32(1.0), jnp.float32(0.3),
+            jnp.float32(0.01), origin, opts2, True, 256, 256)
+        ref_acc += float(jnp.sum(frame))
+
+    assert np.isfinite(float(acc))
+    # frame sums track within a fraction of a percent (chaotic pair-set
+    # differences below the drift threshold move edge pixels slightly)
+    assert abs(float(acc) - ref_acc) / max(abs(ref_acc), 1.0) < 5e-3, \
+        (float(acc), ref_acc)
+    act = np.asarray(ha.state.active_mask())
+    pa = np.asarray(state.pos)[act]
+    pb = np.asarray(sb.pos)[act]
+    assert np.abs(pa.mean(0) - pb.mean(0)).max() < 0.5

@@ -223,3 +223,21 @@ def test_spatial_draw_matches_single_device_frame(mesh22):
     want = np.asarray(want)
     assert got.shape == want.shape == (256, 256, 4)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
+
+
+def test_collective_bytes_are_boundary_sized():
+    """The decomposition's point: per-step ICI traffic is O(boundary), far
+    below the 1D layer's O(total-particles) all-gather per pass."""
+    from egg_fluid_simulation_tpu.ops import solver as solver_ops
+    lay = S.SpatialLayout(grid_dim=512, slots_per_cell=4, db=8, dx=4,
+                          migrate_cap=1024)
+    opts = solver_ops.SolverOptions(engine="dense", budget_mode="off",
+                                    dense_rebin="step", dense_grid_dim=512,
+                                    dense_slots=4)
+    cb = lay.collective_bytes_per_step(opts)
+    assert cb["total_per_step"] == (cb["full_halo_exchange"]
+                                    + 6 * cb["xy_refresh_per_pass"]
+                                    + cb["migration"])
+    # 1D all-gather at 1M particles moves ~16B x 1M x (D-1)/D per pass
+    allgather_per_pass = 16 * 1_000_000 * 31 // 32
+    assert cb["total_per_step"] < allgather_per_pass / 3
