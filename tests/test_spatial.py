@@ -197,6 +197,7 @@ def test_particle_count_preserved_over_many_steps(mesh22):
         assert (np.asarray(st.batch_slot[i]) >= 0).sum() == want[i]
 
 
+@pytest.mark.slow
 def test_spatial_draw_matches_single_device_frame(mesh22):
     """Sharded render: per-device splats combined with the log-psum product
     must reproduce the single-device frame (same passes, same state)."""
