@@ -60,6 +60,7 @@ __all__ = ["RenderOptions", "CANVAS_BUCKETS", "splat_population",
            "frame_options"]
 
 _GAUSS_COEFF = 4.0 * np.pi / 3.0  # particle_texture.glsl:8
+_SPLAT_CHUNK = 64                 # candidates per serial eval step (64 measured ~7% faster than 32 at 1M)
 
 # static canvas sizes; last entry is the reference's hard clamp (:1953-1954)
 CANVAS_BUCKETS = (256, 512, 1024, 2048, 2560)
@@ -346,7 +347,7 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     py_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
     px_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
 
-    chunk = min(32, n_cand)
+    chunk = min(_SPLAT_CHUNK, n_cand)
     n_chunks = -(-n_cand // chunk)
     cpad = n_chunks * chunk - n_cand
 
