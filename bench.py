@@ -107,6 +107,9 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
     from egg_fluid_simulation_tpu.ops import solver as solver_ops
 
     h.run_steps(1)  # stats for canvas bucket choice
+    # honesty: let the overflow auto-bump settle the per-bin budget BEFORE
+    # freezing the options — the timed frames must drop zero particles
+    h.draw(viewport=(0.0, 0.0, 256, 256), check_overflow=True)
     opts2 = render_ops.frame_options(h)
     view = float(max(o.canvas_size for o in opts2))
     # viewport covers the full (clamped) canvas region around the scene centroid
@@ -121,9 +124,15 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
     smooth = jnp.float32(h._thresholding_smoothness)
     use_lighting = bool(h._use_lighting)
 
-    def frame_fn(state, stats):
+    # the frame loop draws at a varying interpolation alpha, like the
+    # reference's accumulator-driven draw (:216, :2090); alpha cycles
+    # deterministically so every frame still renders the full pipeline
+    alphas = jnp.asarray(np.linspace(0.15, 1.0, chain), jnp.float32)
+
+    def frame_fn(state, stats, t):
+        a = alphas[t % chain]
         frame, _, _ = render_ops._render_frame(
-            state, stats, cfg2, jnp.float32(1.0), thr, smooth, origin,
+            state, stats, cfg2, a, thr, smooth, origin,
             opts2, use_lighting, vw, vh, pop_caps=options.pop_caps)
         return jnp.sum(frame)
 
@@ -144,11 +153,49 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
 
     ms = median_ms(run, n_trials) / chain
     h._state = state
-    return ms
+
+    # honesty: re-render one frame of the FINAL state with overflow counters
+    # read and assert the per-bin render budget dropped nothing (the
+    # reference drops nothing inside its canvas, :2054-2064)
+    _, _, overflows = render_ops._render_frame(
+        h.state, h.stats, cfg2, jnp.float32(1.0), thr, smooth, origin,
+        opts2, use_lighting, vw, vh, pop_caps=options.pop_caps)
+    n_dropped = int(np.asarray(overflows).sum())
+    assert n_dropped == 0, (
+        f"render budget overflow in the headline frame: {n_dropped} "
+        f"particles dropped — auto-bump failed to settle")
+    return ms, n_dropped
+
+
+def spatial_mode() -> None:
+    """``--spatial``: run the SpatialHandler benchmark on a virtual CPU mesh
+    in a clean subprocess (the TPU interpreter is pinned single-chip)."""
+    import subprocess
+
+    n_devices = 8
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu_spatial"
+    proc = subprocess.run(
+        [sys.executable, "-m",
+         "egg_fluid_simulation_tpu.parallel.spatial_bench", str(n_devices)],
+        env=env, cwd=repo, text=True, timeout=1800)
+    sys.exit(proc.returncode)
 
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    if "--spatial" in sys.argv:
+        spatial_mode()
+        return
 
     results = {}
 
@@ -166,9 +213,10 @@ def main() -> None:
     # ---- step + render latency at 1M (device-resident frame loop) ----
     h = build_handler(65_536 if quick else 1_000_000)
     total = sum(h.get_n_particles())
-    ms = step_render_ms(h, chain=10, n_trials=5)
+    ms, n_dropped = step_render_ms(h, chain=10, n_trials=5)
     results["step_render_ms_1m"] = round(ms, 3)
     results["render_ms_1m"] = round(ms - results["step_ms_1m"], 3)
+    results["render_overflow_dropped"] = n_dropped
 
     target_ms = 16.0
     out = {

@@ -25,7 +25,16 @@ from .state import ParticleState, StepStats, WHITE, YOLK
 __version__ = "0.1.0"
 
 __all__ = [
-    "SimulationHandler", "Path", "SolverOptions",
+    "SimulationHandler", "SpatialHandler", "Path", "SolverOptions",
     "default_white_config", "default_yolk_config", "fluid_config",
     "CONFIG_SCHEMA", "ParticleState", "StepStats", "WHITE", "YOLK",
 ]
+
+
+def __getattr__(name):
+    # lazy: SpatialHandler pulls in parallel/spatial (shard_map machinery)
+    # which single-chip users never need at import time
+    if name == "SpatialHandler":
+        from .parallel.spatial_handler import SpatialHandler
+        return SpatialHandler
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -200,6 +200,8 @@ class SimulationHandler:
         self._interpolation_alpha = 0.0
         self._frames: Optional[jnp.ndarray] = None  # cached rendered frame
         self._frame_key = None
+        self._render_k_boost = [1.0, 1.0]  # per-pop render-budget multiplier,
+        # raised by draw(check_overflow=True) when a frame dropped particles
         self._canvases: Optional[jnp.ndarray] = None  # raw density canvases
         self._cfg2_cache: Optional[DeviceConfig] = None
         self._step_scalar_cache = None
@@ -415,6 +417,7 @@ class SimulationHandler:
                                     n_collision_steps=n_collision_steps)
 
         self._flush_targets()
+        self._check_caps()
         cfg2 = self._device_cfg2()
         dt, relax = self._step_scalars(step_delta)
 
@@ -456,6 +459,7 @@ class SimulationHandler:
     def step_once(self, step_delta: float = 1 / 60) -> None:
         """Advance exactly one fixed step (benchmark/test convenience)."""
         self._flush_targets()
+        self._check_caps()
         dt, relax = self._step_scalars(step_delta)
         self._state, self._stats = solver_ops.step(
             self._state, self._device_cfg2(), dt, relax, self._options)
@@ -472,11 +476,29 @@ class SimulationHandler:
         if n_steps <= 0:
             return
         self._flush_targets()
+        self._check_caps()
         dt, relax = self._step_scalars(step_delta)
         self._state, self._stats = solver_ops.multi_step(
             self._state, self._device_cfg2(), dt, relax, self._options,
             int(n_steps))
         self._frames = None
+
+    def _check_caps(self) -> None:
+        """Enforce the SolverOptions.pop_caps invariant (cap >= live count).
+
+        The step only touches particle rows [0, cap); an undersized cap would
+        silently freeze live particles beyond it while they keep rendering.
+        Auto-derived options always satisfy this; the check guards
+        user-supplied options."""
+        caps = self._options.pop_caps
+        if caps is None:
+            return
+        for pop, name in ((WHITE, "white"), (YOLK, "yolk")):
+            if caps[pop] < self._counts[pop]:
+                log.error("In SimulationHandler: options.pop_caps[", name,
+                          "] = `", caps[pop], "` is smaller than the live ",
+                          name, " particle count `", self._counts[pop],
+                          "`; particles beyond the cap would never be stepped")
 
     def _flush_targets(self) -> None:
         if self._targets_dirty:
@@ -502,7 +524,10 @@ class SimulationHandler:
         key = (tuple(viewport) if viewport is not None else None,
                tuple(background) if background is not None else None,
                self._interpolation_alpha)
-        if self._frames is not None and self._frame_key == key:
+        # check_overflow must bypass the cache: the overflow warning is a
+        # side effect of the render, not part of the cached frame
+        if (self._frames is not None and self._frame_key == key
+                and not check_overflow):
             return self._frames
         frame = render_ops.draw(self, viewport=viewport, background=background,
                                 check_overflow=check_overflow)

@@ -185,19 +185,23 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
     rows = g + 2 * ROW_PAD
     if use_placement:
         from .pallas import place_kernel
-        # The placement kernel requires GLOBALLY ascending slots (its window
-        # starts come from a binary search). Cell-id order alone does not give
-        # that: entries past the per-cell cap (rank >= k) carry the sentinel
-        # slot g*lanes *interleaved* mid-array wherever their cell sits, which
-        # both breaks the search and lets a single crowded cell blow the
-        # bounded DMA-window span. Compact them to the tail with a second
-        # key-value sort (~2.8 ms at 1M on v5e; in-range slots are unique so
-        # the order is exact).
-        slot_sorted, pidx_sorted = jax.lax.sort_key_val(slot_sorted,
-                                                        pidx_sorted)
+        # The placement kernel's window starts need a MONOTONE search key.
+        # Cell-sorted order isn't ascending in slots (entries past the
+        # per-cell cap carry the sentinel slot interleaved mid-array), but
+        # clamping overflow ranks to k-1 IS monotone: cell ids ascend and
+        # ranks ascend within a cell. The one-hot still matches on the real
+        # slot column, where overflow entries keep the sentinel and match
+        # nothing — so the compaction sort round 2 paid here (~2.8 ms at 1M)
+        # is unnecessary. Overflow inflates window spans; entries beyond the
+        # kernel's slack stay unplaced (FIELD_OCC = 0) and are treated as
+        # collision budget drops by the extraction path.
+        clamped = jnp.where(cid_sorted < g * g,
+                            cid_sorted * k + jnp.minimum(rank, k - 1),
+                            g * lanes)
         pack_sorted = pack[pidx_sorted]                    # (N, F) sorted rows
         all_planes = place_kernel.place_planes(slot_sorted, pack_sorted, g, k,
-                                               interpret=interpret)
+                                               interpret=interpret,
+                                               search_key=clamped)
         planes = fill_halo(all_planes[:N_FIELDS])
         aux = (fill_halo(all_planes[N_FIELDS:pack.shape[1]])
                if aux_cols is not None else None)

@@ -43,6 +43,9 @@ __all__ = ["place_planes", "on_tpu"]
 
 _SUB = 512        # output slots per program
 _ALIGN = 128      # lane tile: DMA starts rounded down to this
+_OVERFLOW_SLACK = 512  # extra window lanes absorbing per-cell-cap overflow
+                  # entries interleaved in the cell-sorted input (see
+                  # place_planes: overflow beyond the slack is budget-dropped)
 _F_PAD = 16       # padded field count (8 pair + up to 7 aux + slot column)
 SLOT_COL = 15     # the slot rides as an f32 payload column (exact < 2^24)
 
@@ -91,12 +94,12 @@ def _make_kernel(sub: int, win: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("g", "k", "interpret"))
-def _place_pallas(pack_t, starts, g: int, k: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("g", "k", "win", "interpret"))
+def _place_pallas(pack_t, starts, g: int, k: int, win: int,
+                  interpret: bool = False):
     lanes = g * k
     total = g * lanes
     sub = min(_SUB, lanes)
-    win = sub + _ALIGN
     assert total % sub == 0
 
     kernel = _make_kernel(sub, win)
@@ -121,19 +124,33 @@ def _place_pallas(pack_t, starts, g: int, k: int, interpret: bool = False):
 
 
 def place_planes(slot_sorted, pack_sorted, g: int, k: int,
-                 interpret: bool = False):
+                 interpret: bool = False, search_key=None):
     """(F_pad, rows, lanes) planes (halo rows EMPTY — caller fills) from
     sorted slots + payload.
 
-    ``slot_sorted``: (N,) i32 ascending unpadded flat slots (g*lanes =
-    dropped). ``pack_sorted``: (N, F<=15) f32 payload in the same order.
-    Returns the stacked plane tensor; caller slices pair/aux fields and wraps
-    the torus halo. Padding column ``SLOT_COL`` is consumed here.
+    ``slot_sorted``: (N,) i32 unpadded flat slots (g*lanes = dropped).
+    ``pack_sorted``: (N, F<=15) f32 payload in the same order. Returns the
+    stacked plane tensor; caller slices pair/aux fields and wraps the torus
+    halo. Padding column ``SLOT_COL`` is consumed here.
+
+    Two input orders are supported:
+
+    - ``search_key=None``: ``slot_sorted`` itself is globally ascending
+      (compacted order — overflow/sentinel entries at the tail).
+    - ``search_key=`` a (N,) i32 MONOTONE key (e.g. the cell-sorted
+      ``cell_id * k + min(rank, k-1)`` clamp): window starts come from the
+      key while the one-hot matches on ``slot_sorted``, whose sentinel
+      entries (per-cell-cap overflow) match nothing. This skips the
+      compaction sort entirely (~2.8 ms at 1M). Overflow entries inflate the
+      window span; spans beyond ``_OVERFLOW_SLACK`` leave the span's TAIL
+      entries unplaced — their plane slots stay zero (FIELD_OCC = 0), which
+      the extraction path treats as a collision budget drop (the reference's
+      past-cutoff behavior, simulation_handler.lua:1656-1658).
     """
     n, f = pack_sorted.shape
     lanes = g * k
     sub = min(_SUB, lanes)
-    win = sub + _ALIGN
+    win = sub + _ALIGN + (0 if search_key is None else _OVERFLOW_SLACK)
     assert f <= SLOT_COL
 
     pad_cols = jnp.zeros((n, SLOT_COL - f), jnp.float32)
@@ -147,8 +164,9 @@ def place_planes(slot_sorted, pack_sorted, g: int, k: int,
     pack_t = jnp.concatenate([pack_t, sentinel], axis=1)
 
     block_starts = jnp.arange(0, g * lanes, sub, dtype=jnp.int32)
-    starts = jnp.searchsorted(slot_sorted, block_starts).astype(jnp.int32)
-    flat = _place_pallas(pack_t, starts, g, k, interpret=interpret)
+    key = slot_sorted if search_key is None else search_key
+    starts = jnp.searchsorted(key, block_starts).astype(jnp.int32)
+    flat = _place_pallas(pack_t, starts, g, k, win, interpret=interpret)
     rows = g + 2 * D.ROW_PAD
     out = jnp.zeros((_F_PAD, rows, lanes), jnp.float32)
     return out.at[:, D.ROW_PAD:D.ROW_PAD + g].set(flat.reshape(_F_PAD, g, lanes))

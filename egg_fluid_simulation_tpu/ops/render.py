@@ -60,7 +60,9 @@ __all__ = ["RenderOptions", "CANVAS_BUCKETS", "splat_population",
            "frame_options"]
 
 _GAUSS_COEFF = 4.0 * np.pi / 3.0  # particle_texture.glsl:8
-_SPLAT_CHUNK = 64                 # candidates per serial eval step (64 measured ~7% faster than 32 at 1M)
+_SPLAT_CHUNK = 128                # candidates per serial eval step; the chunk
+                                  # is the minor (lane) dim of the eval block,
+                                  # so 128 fills the VPU exactly
 
 # static canvas sizes; last entry is the reference's hard clamp (:1953-1954)
 CANVAS_BUCKETS = (256, 512, 1024, 2048, 2560)
@@ -104,7 +106,8 @@ class RenderOptions:
 
 def auto_render_options(config: dict, canvas_size: int,
                         use_particle_color: bool = False,
-                        density: Optional[float] = None) -> RenderOptions:
+                        density: Optional[float] = None,
+                        k_boost: float = 1.0) -> RenderOptions:
     """Derive static render parameters from a (host) population config.
 
     - splat reach: ``max_radius * texture_scale`` quad half-extent, capped at
@@ -136,12 +139,17 @@ def auto_render_options(config: dict, canvas_size: int,
             p *= 2
         return p
 
+    # Geometry: the eval cost per pixel is w_bins * k ~ density * slack *
+    # (tile + 2*ceil(splat/bin)*bin)^2 — dominated by the window DILATION, so
+    # both bins and tiles want to be small relative to the splat reach.
+    # (Round-2 used 128-wide bins/tiles "for lane alignment", which put 50
+    # window bins behind every tile at 1M — 4000 candidates/px vs a true
+    # coverage of ~115. Candidates live in the minor/lane dim of the eval
+    # block, so PIXEL granularity needs no 128 alignment at all.)
     bin_h = pow2_clamp(max(splat // 2, 8), 8, min(32, eff))
-    bin_w = pow2_clamp(max(splat, 16), 16, min(128, eff))
-    tile_h = 32 if splat >= 32 else 8   # measured: splat cost tracks the
-    tile_h = min(tile_h, eff)           # serial candidate-chunk count, which
-    tile_h = max(tile_h, bin_h)         # small tiles + small k minimize
-    tile_w = min(128, eff)
+    bin_w = pow2_clamp(max(splat // 2, 8), 8, min(32, eff))
+    tile_h = min(max(bin_h, 8), eff)
+    tile_w = min(2 * bin_w, eff)
 
     # per-bin candidate budget from particle density. The collision-spacing
     # formula is the static fallback; the MEASURED density (particles per
@@ -151,15 +159,25 @@ def auto_render_options(config: dict, canvas_size: int,
     # proportional to k, irrespective of how many particles exist).
     spacing = 2.0 * config["collision_overlap_factor"] * config["min_radius"] / ds
     d_eff = 1.0 / max(spacing * spacing * 0.72, 1.0)     # hex-ish packing
+    slack = 3.0
     if density is not None and density > 0.0:
         d_eff = density * ds * ds
-    k = int(math.ceil(bin_h * bin_w * d_eff * 3.0 / 8.0)) * 8
+        # measured density needs less headroom than the packing formula; k
+        # multiplies the whole eval cost, and overflow is counted with
+        # handler-level auto-bump (k_boost) recovering any shortfall
+        slack = 1.75
+    k = int(math.ceil(bin_h * bin_w * d_eff * slack / 8.0)) * 8
     # NOTE: a saturation-based cap (stop once blended alpha must saturate)
     # was tried and is NOT lossless — bin-level selection can keep only
     # far-away particles for an edge pixel while dropping the one on top of
     # it (measured 0.34 max pixel error). The budget stays density-based;
     # overflow is counted and warned (draw(check_overflow=True)).
     k = max(16, min(256, k))
+    # the overflow auto-bump boost applies AFTER the floor/cap — density can
+    # underestimate peak occupancy arbitrarily (clustered scene in a huge
+    # AABB), so the boost must scale the effective k, not the raw estimate
+    if k_boost != 1.0:
+        k = min(256, int(math.ceil(k * k_boost / 8.0)) * 8)
 
     thickness = float(config["outline_thickness"])
     steps = int(math.ceil(thickness)) + 1                # outline.glsl:14
@@ -434,20 +452,27 @@ def upsample_splat(alpha, rgb, opts: RenderOptions):
 
 # ------------------------------------------------------- post-process passes --
 
-def _shift_bilinear(img, dx, dy, pad: int):
+def _shift_bilinear(img, dx, dy, pad: int, padded=None):
     """Shift a 2D image by a (possibly fractional) offset, zero-padded.
 
     Sampling ``tex(uv + offset)`` with linear filtering == shifting the image
-    by ``-offset``; callers pass the sample offset directly.
+    by ``-offset``; callers pass the sample offset directly. ``padded`` lets
+    hot loops (the outline dilation does up to 64 of these) pre-pad once.
     """
+    if padded is None:
+        padded = jnp.pad(img, ((pad, pad), (pad, pad)))
     # sample at (x + dx, y + dy): 4-tap bilinear mix of integer shifts
     fx, fy = jnp.floor(dx), jnp.floor(dy)
     ax, ay = dx - fx, dy - fy
     iy, ix = fy.astype(jnp.int32), fx.astype(jnp.int32)
-    return (roll0_dyn(img, iy, ix, pad) * (1 - ax) * (1 - ay)
-            + roll0_dyn(img, iy, ix + 1, pad) * ax * (1 - ay)
-            + roll0_dyn(img, iy + 1, ix, pad) * (1 - ax) * ay
-            + roll0_dyn(img, iy + 1, ix + 1, pad) * ax * ay)
+
+    def tap(sy, sx):
+        return jax.lax.dynamic_slice(padded, (pad + sy, pad + sx), img.shape)
+
+    return (tap(iy, ix) * (1 - ax) * (1 - ay)
+            + tap(iy, ix + 1) * ax * (1 - ay)
+            + tap(iy + 1, ix) * (1 - ax) * ay
+            + tap(iy + 1, ix + 1) * ax * ay)
 
 
 def roll0_dyn(im, sy, sx, pad: int):
@@ -475,12 +500,15 @@ def outline_pass(alpha, outline_thickness, threshold, opts: RenderOptions,
     max_alpha = jnp.zeros_like(alpha)
     steps_f = jnp.ceil(outline_thickness) + 1.0
     step_size = outline_thickness / (steps_f * px_scale)
+    pad = opts.shift_pad
+    padded = jnp.pad(alpha, ((pad, pad), (pad, pad)))  # once, not per tap
     for step in range(1, opts.max_outline_steps + 1):
         use = jnp.float32(step) <= steps_f
         d = jnp.float32(step) * step_size
         d = jnp.minimum(d, float(opts.shift_pad - 1))
         for dx, dy in _OUTLINE_DIRECTIONS:
-            sampled = _shift_bilinear(alpha, d * dx, d * dy, opts.shift_pad)
+            sampled = _shift_bilinear(alpha, d * dx, d * dy, pad,
+                                      padded=padded)
             max_alpha = jnp.maximum(max_alpha, jnp.where(use, sampled, 0.0))
     max_alpha = jnp.minimum(max_alpha, 1.0)
 
@@ -624,7 +652,11 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
         overflows.append(overflow)
         # canvas top-left in viewport pixels (reference :2132-2133); the
         # fractional part is resolved by a 4-tap bilinear shift of the
-        # canvas, matching the reference's bilinear canvas resample
+        # canvas, matching the reference's bilinear canvas resample.
+        # Reference-faithful quirk: the canvas CONTENT is centered on the
+        # INTERPOLATED centroid (:2056-2060) but the canvas is pasted at the
+        # END-OF-STEP centroid — at alpha < 1 the whole egg sits offset by
+        # (1-alpha)*(centroid - last_centroid), exactly like the reference.
         corner = stats.centroid[i] - 0.5 * opts2[i].canvas_size - viewport_origin
         screen_rgb, screen_a = _paste_src_over_frac(screen_rgb, screen_a,
                                                     rgba, corner)
@@ -694,9 +726,10 @@ def frame_options(handler) -> Tuple[RenderOptions, RenderOptions]:
         area = float(max(aabb_max[0] - aabb_min[0], 1.0)
                      * max(aabb_max[1] - aabb_min[1], 1.0))
         density = counts[i] / area if area > 1.0 else None
+        boost = getattr(handler, "_render_k_boost", (1.0, 1.0))[i]
         opts.append(auto_render_options(
             cfg, bucket, use_particle_color=handler._use_particle_color,
-            density=density))
+            density=density, k_boost=boost))
     return tuple(opts)
 
 
@@ -725,12 +758,34 @@ def draw(handler, viewport=None, background=None, check_overflow=False):
         pop_caps=handler._options.pop_caps)
     handler._canvases = canvases
     if check_overflow:
-        counts = np.asarray(overflows)
-        if counts.sum() > 0:
+        # auto-bump: double the per-bin budget of any overflowing population
+        # and re-render until the frame drops nothing (the reference drops
+        # nothing inside its canvas, :2054-2064); the boost persists on the
+        # handler so subsequent frames start honest
+        for _ in range(4):
+            counts = np.asarray(overflows)
+            if counts.sum() == 0:
+                break
             from ..utils import log
+            boosts = list(getattr(handler, "_render_k_boost", [1.0, 1.0]))
+            for i in range(2):
+                if counts[i] > 0 and boosts[i] < 16.0:
+                    boosts[i] *= 2.0
+            handler._render_k_boost = boosts
             log.warning("render budget overflow: dropped ", int(counts[0]),
                         " white / ", int(counts[1]), " yolk particles past "
-                        "tile_capacity; increase tile_capacity or canvas size")
+                        "tile_capacity; re-rendering with boosted budget ",
+                        tuple(boosts))
+            opts2 = frame_options(handler)
+            frame, canvases, overflows = _render_frame(
+                handler.state, handler.stats, cfg2,
+                jnp.float32(handler.interpolation_alpha),
+                jnp.float32(handler._thresholding_threshold),
+                jnp.float32(handler._thresholding_smoothness),
+                jnp.asarray([x, y], jnp.float32),
+                opts2, bool(handler._use_lighting), int(w), int(h),
+                pop_caps=handler._options.pop_caps)
+            handler._canvases = canvases
     if background is not None:
         bg = jnp.asarray(background, jnp.float32)
         a = frame[..., 3:4]

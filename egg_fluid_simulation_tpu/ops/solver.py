@@ -105,7 +105,13 @@ class SolverOptions:
     n_substeps: int = 2             # reference default, simulation_handler.lua:170
     n_collision_steps: int = 3      # reference default, :171
     pop_caps: Optional[Union[int, Tuple[int, int]]] = None  # static per-pop
-                                    # particle-slice size; None = full capacity
+                                    # particle-slice size; None = full capacity.
+                                    # INVARIANT: each cap must be >= the live
+                                    # particle count of its population — the
+                                    # step only touches rows [0, cap), so an
+                                    # undersized cap silently freezes live
+                                    # particles beyond it. SimulationHandler
+                                    # enforces this on every step entry.
     adaptive_rebin: bool = True     # multi_step fast-forward: keep state
                                     # plane-resident across steps, rebinning
                                     # only when accumulated drift exceeds
@@ -544,15 +550,22 @@ def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
 
 
 def _plane_extract(planes, aux, slot, g: int, lanes: int):
-    """One gather pulling (pos, prev, vel) per particle out of plane layout."""
+    """One gather pulling (pos, prev, vel) per particle out of plane layout.
+
+    ``in_grid`` additionally requires the slot's FIELD_OCC to be set: a
+    particle whose placement was dropped (per-cell cap, or the placement
+    kernel's bounded overflow window) reads zeros from the planes and must
+    fall back to integration-without-collision — the reference's
+    past-budget behavior (:1656-1658) — rather than collapse to (0, 0)."""
     rp = dense_ops.ROW_PAD
     ext = jnp.stack([planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
                      aux[AUX_PX], aux[AUX_PY],
-                     aux[AUX_VX], aux[AUX_VY]], axis=-1)    # (rows, L, 6)
-    ext = ext.reshape(-1, 6)
+                     aux[AUX_VX], aux[AUX_VY],
+                     planes[dense_ops.FIELD_OCC]], axis=-1)  # (rows, L, 7)
+    ext = ext.reshape(-1, 7)
     padded = jnp.minimum(slot + rp * lanes, ext.shape[0] - 1)
     got = ext[padded]
-    in_grid = slot < g * lanes
+    in_grid = (slot < g * lanes) & (got[:, 6] > 0.0)
     return got[:, 0:2], got[:, 2:4], got[:, 4:6], in_grid
 
 
@@ -687,10 +700,11 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
         # adjacency — the only thing the 3x3 window needs — is untouched
         # (torus cells are translation-covariant). Only differential motion
         # can invalidate pair sets.
-        occ = planes[dense_ops.FIELD_OCC]
-        n_occ = jnp.maximum(jnp.sum(occ), 1.0)
-        dxp = (planes[dense_ops.FIELD_X] - ref_xy[0]) * occ
-        dyp = (planes[dense_ops.FIELD_Y] - ref_xy[1]) * occ
+        rp = dense_ops.ROW_PAD
+        occ = planes[dense_ops.FIELD_OCC, rp:rp + g]    # real rows only: halo
+        n_occ = jnp.maximum(jnp.sum(occ), 1.0)          # rows duplicate edge
+        dxp = (planes[dense_ops.FIELD_X, rp:rp + g] - ref_xy[0, rp:rp + g]) * occ
+        dyp = (planes[dense_ops.FIELD_Y, rp:rp + g] - ref_xy[1, rp:rp + g]) * occ
         mx = jnp.sum(dxp) / n_occ
         my = jnp.sum(dyp) / n_occ
         rel2 = (dxp - mx * occ) ** 2 + (dyp - my * occ) ** 2
@@ -988,7 +1002,11 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         Order: plane step -> extract (the render needs it anyway) -> rebin
         FROM the extracted arrays if drift demands (so next frame's step
         runs on fresh bins without a second extraction)."""
-        planes, aux, slot, ref_p, fb_p, fb_prev, fb_v = c
+        planes, aux, slot, ref_p, fb_p, fb_prev, fb_v, _last_p = c
+        # position at frame start (= previous frame's merged extraction) is
+        # this frame's ``last_pos`` — the whole-step interpolation anchor the
+        # reference snapshots in update_last_positions (:1795-1818)
+        pre_p = fb_p
         planes, aux = _plane_run(planes, aux, pp["damp"], pp["follow_c"],
                                  pp["params"], sub_dt, relaxation, options,
                                  pp["g"], pp["k"], n_sub,
@@ -1014,21 +1032,27 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         planes, aux, slot, ref_p = jax.lax.cond(
             n_over > options.rebin_tolerance * n_live,
             rebin, lambda op: op, (planes, aux, slot, ref_p))
-        return (planes, aux, slot, ref_p, p, pr, v), (p, pr, v)
+        return (planes, aux, slot, ref_p, p, pr, v, pre_p), (p, pr, v, pre_p)
 
-    def body(carry, _):
+    # frame_fn may take (state, stats) or (state, stats, frame_index) — the
+    # index lets callers vary per-frame inputs (e.g. interpolation alpha)
+    import inspect
+    _wants_index = len(inspect.signature(frame_fn).parameters) >= 3
+
+    def body(carry, t):
         pop_carries, prev_centroid, acc = carry
         new_state = state
         cents = []
         outs = []
         for pp, c in zip(pops, pop_carries):
             i, cap = pp["i"], pp["cap"]
-            c2, (p, pr, v) = pop_body(c, pp)
+            c2, (p, pr, v, pre_p) = pop_body(c, pp)
             outs.append(c2)
             new_state = new_state.replace(
                 pos=new_state.pos.at[i, :cap].set(p),
                 prev=new_state.prev.at[i, :cap].set(pr),
-                vel=new_state.vel.at[i, :cap].set(v))
+                vel=new_state.vel.at[i, :cap].set(v),
+                last_pos=new_state.last_pos.at[i, :cap].set(pre_p))
             n_a = jnp.maximum(jnp.sum(pp["act"]), 1)
             cents.append(jnp.sum(jnp.where(pp["act"][:, None], p, 0.0),
                                  axis=0) / n_a)
@@ -1044,7 +1068,8 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
                               (2, state.max_batches, 2), jnp.float32),
                           batch_count=jnp.zeros((2, state.max_batches),
                                                 jnp.float32))
-        acc = acc + frame_fn(new_state, stats)
+        acc = acc + (frame_fn(new_state, stats, t) if _wants_index
+                     else frame_fn(new_state, stats))
         return (pop_carries, centroid, acc), None
 
     init_pops = []
@@ -1053,21 +1078,22 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         p0 = state.pos[i, :cap]
         v0 = state.vel[i, :cap]
         planes, aux, slot, _ = bin_now(p0, v0, pp)
-        init_pops.append((planes, aux, slot, p0, p0, p0, v0))
+        init_pops.append((planes, aux, slot, p0, p0, p0, v0, p0))
     n_a0 = jnp.maximum(jnp.sum(active_full, axis=1), 1)
     cent0 = (jnp.sum(jnp.where(active_full[..., None], state.pos, 0.0),
                      axis=1) / n_a0[:, None])
     carry = (tuple(init_pops), cent0, jnp.float32(0.0))
-    (pop_carries, centroid, acc), _ = jax.lax.scan(body, carry, None,
-                                                   length=n_steps)
+    (pop_carries, centroid, acc), _ = jax.lax.scan(
+        body, carry, jnp.arange(n_steps, dtype=jnp.int32))
     new_state = state
     for pp, c in zip(pops, pop_carries):
         i, cap = pp["i"], pp["cap"]
-        planes, aux, slot, ref_p, p, pr, v = c
+        planes, aux, slot, ref_p, p, pr, v, last_p = c
         new_state = new_state.replace(
             pos=new_state.pos.at[i, :cap].set(p),
             prev=new_state.prev.at[i, :cap].set(pr),
-            vel=new_state.vel.at[i, :cap].set(v))
+            vel=new_state.vel.at[i, :cap].set(v),
+            last_pos=new_state.last_pos.at[i, :cap].set(last_p))
     return new_state, acc
 
 

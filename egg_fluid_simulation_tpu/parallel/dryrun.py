@@ -95,6 +95,49 @@ def main(n_devices: int) -> None:
           f"ICI bytes/step/device: {cb['total_per_step']:,} "
           f"(vs O(total particles) for the 1D all-gather layer)")
 
+    # ---- plane-resident multi-step (drift-adaptive, one dispatch) ----
+    sp_multi = S.spatial_multi_step(sp_mesh, lay, sp_opts)
+    sp_state2, sp_stats2, info2 = sp_multi(sp_state, h2._device_cfg2(), dt,
+                                           relax, jnp.int32(3))
+    jax.block_until_ready(sp_state2.pos)
+    assert np.isfinite(np.asarray(sp_state2.pos)).all()
+    assert int(np.asarray(info2)[:, 0].sum()) == 0
+    print(f"dryrun_multichip: ({db}x{dx})-mesh plane-RESIDENT multi-step OK "
+          f"(3 steps, one dispatch, migration inside the rebin cond)")
+
+    # ---- sharded renderer (per-device splats + log-psum combine) ----
+    from egg_fluid_simulation_tpu.ops import render as render_ops
+
+    opts2 = tuple(render_ops.auto_render_options(cfg, 256)
+                  for cfg in (h2._white_config, h2._yolk_config))
+    draw = S.spatial_draw(sp_mesh, lay, opts2, (0.0, 0.0, 256, 256),
+                          0.3, 0.01, True)
+    frame = np.asarray(draw(sp_state2, sp_stats2, h2._device_cfg2(),
+                            jnp.float32(1.0)))
+    assert frame.shape == (256, 256, 4) and np.isfinite(frame).all()
+    assert frame[..., 3].max() > 0.05, "sharded frame rendered nothing"
+    print(f"dryrun_multichip: ({db}x{dx})-mesh sharded RENDER OK "
+          f"(frame alpha max {frame[..., 3].max():.3f})")
+
+    # ---- the product surface: SpatialHandler end-to-end ----
+    from egg_fluid_simulation_tpu import SpatialHandler
+    from egg_fluid_simulation_tpu import (default_white_config,
+                                          default_yolk_config)
+
+    hp = SpatialHandler(default_white_config(), default_yolk_config(),
+                        db=db, dx=dx, capacity=capacity, max_batches=8,
+                        options=sp_opts)
+    bid = hp.add(60.0, 50.0, 25.0, 8.0, None, None, 50, 12)
+    hp.set_target_position(bid, 100.0, 80.0)
+    hp.update(2 / 60)
+    hp.run_steps(2)
+    frame2 = np.asarray(hp.draw(viewport=(0, 0, 256, 256)))
+    assert np.isfinite(frame2).all() and frame2[..., 3].max() > 0.05
+    px, py = hp.get_position(bid)
+    assert np.isfinite([px, py]).all()
+    print(f"dryrun_multichip: SpatialHandler product flow OK "
+          f"(add/update/run_steps/draw/get_position on the {db}x{dx} mesh)")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -58,7 +58,7 @@ from ..ops import solver as solver_ops
 from ..ops.solver import SolverOptions
 
 __all__ = ["SpatialLayout", "make_spatial_mesh", "spatial_step",
-           "redistribute", "owner_of"]
+           "spatial_multi_step", "redistribute", "owner_of"]
 
 BANDS = "bands"
 BLOCKS = "blocks"
@@ -97,6 +97,12 @@ class SpatialLayout(NamedTuple):
         assert self.grid_dim % self.db == 0 and self.grid_dim % self.dx == 0
         assert self.gb >= RP, "band height must cover the row halo"
         assert self.gx >= 2, "block must span at least 2 cell columns"
+        # the local lane-mask phase in the sweep relies on the halo width
+        # being a whole number of cells (lane phase stays K-periodic across
+        # the lp-lane shift); 64 % K == 0 for the usual K in {1,2,4,8,16}
+        assert self.lp % self.slots_per_cell == 0, (
+            "halo lane count must be a multiple of slots_per_cell; "
+            "use a power-of-two K <= 64")
 
     def collective_bytes_per_step(self, options) -> dict:
         """Per-device ICI bytes moved by one spatial step (analytic).
@@ -342,6 +348,102 @@ def _migrate_axis(fields, active, want_dir, axis_name: str, size: int,
     return _place_migrants(fields, active, (up_recv, dn_recv), 2 * cap)
 
 
+# --------------------------------------------------- shared step pieces --
+
+def _pop_env(cfg, mass_t, active, batch_slot, batch_target, follow_radius,
+             sub_dt, options: SolverOptions):
+    """Per-population step environment (the reference's env, :1726-1786)."""
+    damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
+    mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
+    inv_mass = jnp.where(active, 1.0 / jnp.maximum(mass, 1e-12), 0.0)
+    radius = jnp.where(
+        active, jnp_mix(cfg.min_radius, cfg.max_radius, mass_t), 0.0)
+    follow_c = solver_ops.strength_to_compliance(cfg.follow_strength, sub_dt)
+    collision_c = solver_ops.strength_to_compliance(cfg.collision_strength,
+                                                    sub_dt)
+    cohesion_c = solver_ops.strength_to_compliance(cfg.cohesion_strength,
+                                                   sub_dt)
+    cell_size, params = solver_ops._dense_params(
+        cfg, active, collision_c, cohesion_c, options)
+    table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
+    rows3 = table[jnp.maximum(batch_slot, 0)]                # small gather
+    return dict(damp=damp, inv_mass=inv_mass, radius=radius,
+                follow_c=follow_c, cell_size=cell_size, params=params,
+                tx=rows3[:, 0], ty=rows3[:, 1], td=2.0 * rows3[:, 2])
+
+
+def _plane_run_local(planes, aux, env, sub_dt, relaxation,
+                     options: SolverOptions, lay: SpatialLayout,
+                     cohesion: bool):
+    """``n_substeps`` of the substep pipeline in local plane layout; X/Y
+    halos re-exchanged after every collision pass (the spatial analog of
+    ops/solver._plane_run)."""
+    A = solver_ops
+    for _ in range(options.n_substeps):
+        px, py = planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y]
+        vx = aux[A.AUX_VX] * env["damp"]
+        vy = aux[A.AUX_VY] * env["damp"]
+        aux = (aux.at[A.AUX_PX].set(px).at[A.AUX_PY].set(py)
+                  .at[A.AUX_VX].set(vx).at[A.AUX_VY].set(vy))
+        x = px + sub_dt * vx
+        y = py + sub_dt * vy
+        dx, dy = A._follow_delta(x, y, planes[dense_ops.FIELD_W],
+                                 planes[dense_ops.FIELD_OCC] > 0.0,
+                                 aux[A.AUX_TX], aux[A.AUX_TY],
+                                 aux[A.AUX_TD], env["follow_c"])
+        planes = (planes.at[dense_ops.FIELD_X].set(x + dx)
+                        .at[dense_ops.FIELD_Y].set(y + dy))
+
+        def collision_pass(_, pl):
+            corr = _sweep_local(pl, env["params"], lay, cohesion,
+                                options.use_pallas)
+            pl = (pl.at[dense_ops.FIELD_X, RP:RP + lay.gb]
+                    .add(relaxation * corr[0])
+                    .at[dense_ops.FIELD_Y, RP:RP + lay.gb]
+                    .add(relaxation * corr[1]))
+            # refresh only the X/Y halos the correction touched
+            return pl.at[:2].set(_exchange_halos(pl[:2], lay))
+
+        planes = jax.lax.fori_loop(0, options.n_collision_steps,
+                                   collision_pass, planes)
+        aux = (aux.at[A.AUX_VX]
+                  .set((planes[dense_ops.FIELD_X] - aux[A.AUX_PX]) / sub_dt)
+                  .at[A.AUX_VY]
+                  .set((planes[dense_ops.FIELD_Y] - aux[A.AUX_PY]) / sub_dt))
+    return planes, aux
+
+
+def _extract_local(planes, aux, slot):
+    """(pos, prev, vel, in_grid) per local particle; FIELD_OCC guards
+    against unplaced slots (see ops/solver._plane_extract)."""
+    A = solver_ops
+    ext = jnp.stack([planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
+                     aux[A.AUX_PX], aux[A.AUX_PY],
+                     aux[A.AUX_VX], aux[A.AUX_VY],
+                     planes[dense_ops.FIELD_OCC]], axis=-1).reshape(-1, 7)
+    got = ext[jnp.minimum(slot, ext.shape[0] - 1)]
+    in_grid = (slot < planes.shape[1] * planes.shape[2]) & (got[:, 6] > 0.0)
+    return got[:, 0:2], got[:, 2:4], got[:, 4:6], in_grid
+
+
+def _fallback_steps(pos, vel, env, active, sub_dt, n_sub: int):
+    """Integration-without-collision for out-of-grid particles
+    (reference past-cutoff behavior, :1656-1658)."""
+    A = solver_ops
+    fb_p, fb_v = pos, vel
+    fb_prev = pos
+    for _ in range(n_sub):
+        fb_v = fb_v * env["damp"]
+        fb_prev = fb_p
+        fb_p = fb_p + sub_dt * fb_v
+        fdx, fdy = A._follow_delta(fb_p[:, 0], fb_p[:, 1], env["inv_mass"],
+                                   active, env["tx"], env["ty"], env["td"],
+                                   env["follow_c"])
+        fb_p = fb_p + jnp.stack([fdx, fdy], axis=1)
+        fb_v = (fb_p - fb_prev) / sub_dt
+    return fb_p, fb_prev, fb_v
+
+
 # ------------------------------------------------------------- the step --
 
 def spatial_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
@@ -362,90 +464,32 @@ def spatial_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
     def _pop_step(pos, prev, vel, last_pos, radius, mass_t, inv_mass,
                   batch_slot, color, active, cfg, batch_target, follow_radius,
                   band, block, sub_dt, relaxation):
-        damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
-        mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
-        inv_mass = jnp.where(active, 1.0 / jnp.maximum(mass, 1e-12), 0.0)
-        radius = jnp.where(
-            active, jnp_mix(cfg.min_radius, cfg.max_radius, mass_t), 0.0)
-
-        follow_c = solver_ops.strength_to_compliance(cfg.follow_strength, sub_dt)
-        collision_c = solver_ops.strength_to_compliance(cfg.collision_strength, sub_dt)
-        cohesion_c = solver_ops.strength_to_compliance(cfg.cohesion_strength, sub_dt)
-        cell_size, params = solver_ops._dense_params(
-            cfg, active, collision_c, cohesion_c, options)
-
-        table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
-        safe_slot = jnp.maximum(batch_slot, 0)
-        rows3 = table[safe_slot]                             # small local gather
-        tx, ty, td = rows3[:, 0], rows3[:, 1], 2.0 * rows3[:, 2]
-
+        env = _pop_env(cfg, mass_t, active, batch_slot, batch_target,
+                       follow_radius, sub_dt, options)
         aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
-                              tx, ty, td], axis=1)
+                              env["tx"], env["ty"], env["td"]], axis=1)
         planes, aux, slot, in_grid = _bin_local(
-            pos, inv_mass, radius, batch_slot, active, cell_size,
-            band, block, lay, aux_cols)
+            pos, env["inv_mass"], env["radius"], batch_slot, active,
+            env["cell_size"], band, block, lay, aux_cols)
         planes = _exchange_halos(planes, lay)
         aux = _exchange_halos(aux, lay)
 
-        A = solver_ops
         cohesion = options.cohesion_mode == "spacing"
-        for _ in range(n_sub):
-            px, py = planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y]
-            vx = aux[A.AUX_VX] * damp
-            vy = aux[A.AUX_VY] * damp
-            aux = (aux.at[A.AUX_PX].set(px).at[A.AUX_PY].set(py)
-                      .at[A.AUX_VX].set(vx).at[A.AUX_VY].set(vy))
-            x = px + sub_dt * vx
-            y = py + sub_dt * vy
-            dx, dy = A._follow_delta(x, y, planes[dense_ops.FIELD_W],
-                                     planes[dense_ops.FIELD_OCC] > 0.0,
-                                     aux[A.AUX_TX], aux[A.AUX_TY],
-                                     aux[A.AUX_TD], follow_c)
-            planes = (planes.at[dense_ops.FIELD_X].set(x + dx)
-                            .at[dense_ops.FIELD_Y].set(y + dy))
-
-            def collision_pass(_, pl):
-                corr = _sweep_local(pl, params, lay, cohesion,
-                                    options.use_pallas)
-                pl = (pl.at[dense_ops.FIELD_X, RP:RP + lay.gb]
-                        .add(relaxation * corr[0])
-                        .at[dense_ops.FIELD_Y, RP:RP + lay.gb]
-                        .add(relaxation * corr[1]))
-                # refresh only the X/Y halos the correction touched
-                return pl.at[:2].set(_exchange_halos(pl[:2], lay))
-
-            planes = jax.lax.fori_loop(0, options.n_collision_steps,
-                                       collision_pass, planes)
-            aux = (aux.at[A.AUX_VX]
-                      .set((planes[dense_ops.FIELD_X] - aux[A.AUX_PX]) / sub_dt)
-                      .at[A.AUX_VY]
-                      .set((planes[dense_ops.FIELD_Y] - aux[A.AUX_PY]) / sub_dt))
-
-        ext = jnp.stack([planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
-                         aux[A.AUX_PX], aux[A.AUX_PY],
-                         aux[A.AUX_VX], aux[A.AUX_VY]], axis=-1).reshape(-1, 6)
-        got = ext[jnp.minimum(slot, ext.shape[0] - 1)]
+        planes, aux = _plane_run_local(planes, aux, env, sub_dt, relaxation,
+                                       options, lay, cohesion)
+        p_pl, prev_pl, v_pl, in_grid = _extract_local(planes, aux, slot)
 
         # fallback: pre-solve + follow only (reference past-cutoff behavior)
-        fb_p, fb_v = pos, vel
-        fb_prev = pos
-        for _ in range(n_sub):
-            fb_v = fb_v * damp
-            fb_prev = fb_p
-            fb_p = fb_p + sub_dt * fb_v
-            fdx, fdy = A._follow_delta(fb_p[:, 0], fb_p[:, 1], inv_mass,
-                                       active, tx, ty, td, follow_c)
-            fb_p = fb_p + jnp.stack([fdx, fdy], axis=1)
-            fb_v = (fb_p - fb_prev) / sub_dt
-
+        fb_p, fb_prev, fb_v = _fallback_steps(pos, vel, env, active, sub_dt,
+                                              n_sub)
         sel = (in_grid & active)[:, None]
         keep = active[:, None]
-        new_pos = jnp.where(sel, got[:, 0:2], jnp.where(keep, fb_p, pos))
-        new_prev = jnp.where(sel, got[:, 2:4], jnp.where(keep, fb_prev, prev))
-        new_vel = jnp.where(sel, got[:, 4:6], jnp.where(keep, fb_v, vel))
+        new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, pos))
+        new_prev = jnp.where(sel, prev_pl, jnp.where(keep, fb_prev, prev))
+        new_vel = jnp.where(sel, v_pl, jnp.where(keep, fb_v, vel))
         n_transit = jnp.sum((~in_grid) & active)
-        return (new_pos, new_prev, new_vel, inv_mass, radius, cell_size,
-                n_transit)
+        return (new_pos, new_prev, new_vel, env["inv_mass"], env["radius"],
+                env["cell_size"], n_transit)
 
     def _shard_body(state: ParticleState, cfg2: DeviceConfig,
                     step_delta, relaxation):
@@ -564,6 +608,267 @@ def spatial_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
     fn = shard_map_compat(
         _shard_body, mesh=mesh,
         in_specs=(state_specs, cfg_specs, P(), P()),
+        out_specs=(state_specs, stats_specs, P()))
+    return jax.jit(fn)
+
+
+def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
+    """Plane-RESIDENT multi-step over the 2D spatial mesh.
+
+    The multi-chip analog of the single-chip drift-adaptive fast-forward
+    (ops/solver._population_multi_dense): each device keeps its local plane
+    window resident across steps — per step it pays only the substep sweeps
+    plus X/Y halo refreshes (O(boundary) ICI bytes). A fresh binning +
+    FULL-field halo exchange + one-hop ring migration runs only when the
+    globally-psum'd drift metric trips (every device computes the identical
+    predicate from the same psums, so the ``lax.cond`` branches agree and
+    the collectives inside stay aligned). Between rebins, particles that
+    crossed an ownership boundary stay in their bin-time device's planes —
+    pair-correct through the exchanged halos, exactly like the bounded
+    staleness argument of the single-chip path.
+
+    Returns ``fn(state, cfg2, step_delta, relaxation, n_steps) ->
+    (state, stats, info)`` with ``n_steps`` TRACED (one compile serves every
+    length). ``info`` is (2, 2) i32: (migration-dropped, in-transit).
+    """
+    lay.check()
+    assert (options.budget_mode == "off"
+            and options.dense_rebin == "step"), (
+        "spatial_multi_step requires the plane-resident dense configuration")
+    n_sub = options.n_substeps
+    cohesion = options.cohesion_mode == "spacing"
+
+    def _gsum(x):
+        return jax.lax.psum(jax.lax.psum(x, BANDS), BLOCKS)
+
+    def _shard_body(state: ParticleState, cfg2: DeviceConfig,
+                    step_delta, relaxation, n_steps):
+        sub_dt = jnp.maximum(step_delta / n_sub, EPS)
+        band = jax.lax.axis_index(BANDS)
+        block = jax.lax.axis_index(BLOCKS)
+        follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius, 0.0))
+
+        def bin_pop(i, pos, vel, mass_t, batch_slot, active, cfg):
+            env = _pop_env(cfg, mass_t, active, batch_slot,
+                           state.batch_target, follow_radius[i], sub_dt,
+                           options)
+            aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
+                                  env["tx"], env["ty"], env["td"]], axis=1)
+            planes, aux, slot, _ = _bin_local(
+                pos, env["inv_mass"], env["radius"], batch_slot, active,
+                env["cell_size"], band, block, lay, aux_cols)
+            planes = _exchange_halos(planes, lay)
+            aux = _exchange_halos(aux, lay)
+            return env, planes, aux, slot, planes[:2]
+
+        carries = []
+        for i in range(2):
+            cfg = jax.tree.map(lambda a, i=i: a[i], cfg2)
+            active = state.batch_slot[i] >= 0
+            env, planes, aux, slot, ref = bin_pop(
+                i, state.pos[i], state.vel[i], state.mass_t[i],
+                state.batch_slot[i], active, cfg)
+            carries.append(dict(
+                planes=planes, aux=aux, slot=slot, ref=ref,
+                pos=state.pos[i], prev=state.prev[i], vel=state.vel[i],
+                last=state.pos[i], mass_t=state.mass_t[i],
+                batch_slot=state.batch_slot[i], color=state.color[i],
+                inv_mass=env["inv_mass"], radius=env["radius"],
+                tx=env["tx"], ty=env["ty"], td=env["td"],
+                dropped=jnp.zeros((), jnp.int32)))
+
+        # particle-independent env pieces (stable across migrations)
+        static_env = []
+        for i in range(2):
+            cfg = jax.tree.map(lambda a, i=i: a[i], cfg2)
+            active = state.batch_slot[i] >= 0
+            e = _pop_env(cfg, state.mass_t[i], active, state.batch_slot[i],
+                         state.batch_target, follow_radius[i], sub_dt,
+                         options)
+            static_env.append(dict(damp=e["damp"], follow_c=e["follow_c"],
+                                   cell_size=e["cell_size"],
+                                   params=e["params"]))
+
+        def pop_body(i, c):
+            se = static_env[i]
+            act = c["batch_slot"] >= 0
+            env = dict(damp=se["damp"], follow_c=se["follow_c"],
+                       cell_size=se["cell_size"], params=se["params"],
+                       inv_mass=c["inv_mass"], radius=c["radius"],
+                       tx=c["tx"], ty=c["ty"], td=c["td"])
+            last = c["pos"]  # pre-step positions anchor frame interpolation
+            planes, aux = _plane_run_local(c["planes"], c["aux"], env,
+                                           sub_dt, relaxation, options, lay,
+                                           cohesion)
+            fb_p, fb_prev, fb_v = _fallback_steps(c["pos"], c["vel"], env,
+                                                  act, sub_dt, n_sub)
+            p_pl, prev_pl, v_pl, in_grid = _extract_local(planes, aux,
+                                                          c["slot"])
+            sel = (in_grid & act)[:, None]
+            p = jnp.where(sel, p_pl, fb_p)
+            pr = jnp.where(sel, prev_pl, fb_prev)
+            v = jnp.where(sel, v_pl, fb_v)
+
+            # GLOBAL relative-to-mean drift vs bin-time positions
+            thresh2 = (0.25 * se["cell_size"]) ** 2
+            d = p - c["ref_pos"]
+            n_live = jnp.maximum(_gsum(jnp.sum(act)), 1)
+            mean_d = _gsum(jnp.sum(jnp.where(act[:, None], d, 0.0),
+                                   axis=0)) / n_live
+            rel2 = jnp.sum((d - mean_d) ** 2, axis=1)
+            n_over = _gsum(jnp.sum(act & (rel2 > thresh2)))
+            need = n_over > options.rebin_tolerance * n_live
+
+            c = dict(c, planes=planes, aux=aux, pos=p, prev=pr, vel=v,
+                     last=last)
+
+            def rebin(c):
+                # migrate movers one mesh hop (y then x), then rebin +
+                # full-field halo exchange on the new ownership
+                fields = jnp.concatenate([
+                    c["pos"], c["prev"], c["vel"], c["last"],
+                    c["radius"][:, None], c["mass_t"][:, None],
+                    c["inv_mass"][:, None],
+                    c["batch_slot"].astype(jnp.float32)[:, None],
+                    c["color"]], axis=1)
+                act_l = c["batch_slot"] >= 0
+                dest_b, _ = owner_of(c["pos"], se["cell_size"], lay)
+                fields, act2, drop_y = _migrate_axis(
+                    fields, act_l, _ring_dir(dest_b, band, lay.db),
+                    BANDS, lay.db, lay.migrate_cap)
+                _, dest_x2 = owner_of(fields[:, 0:2], se["cell_size"], lay)
+                fields, act3, drop_x = _migrate_axis(
+                    fields, act2, _ring_dir(dest_x2, block, lay.dx),
+                    BLOCKS, lay.dx, lay.migrate_cap)
+                pos = fields[:, 0:2]
+                vel = fields[:, 4:6]
+                mass_t = fields[:, 9]
+                batch_slot = jnp.where(act3, fields[:, 11].astype(jnp.int32),
+                                       -1)
+                cfg = jax.tree.map(lambda a, i=i: a[i], cfg2)
+                env2, planes2, aux2, slot2, ref2 = bin_pop(
+                    i, pos, vel, mass_t, batch_slot, act3, cfg)
+                return dict(
+                    planes=planes2, aux=aux2, slot=slot2, ref=ref2,
+                    ref_pos=pos, pos=pos, prev=fields[:, 2:4], vel=vel,
+                    last=fields[:, 6:8], mass_t=mass_t,
+                    batch_slot=batch_slot, color=fields[:, 12:16],
+                    inv_mass=env2["inv_mass"], radius=env2["radius"],
+                    tx=env2["tx"], ty=env2["ty"], td=env2["td"],
+                    dropped=c["dropped"] + drop_y + drop_x)
+
+            return jax.lax.cond(need, rebin, lambda c: c, c)
+
+        # per-particle bin-time positions for the drift metric
+        for c in carries:
+            c["ref_pos"] = c["pos"]
+
+        def body(_, cs):
+            return tuple(pop_body(i, c) for i, c in enumerate(cs))
+
+        carries = jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32),
+                                    body, tuple(carries))
+
+        # ---- final merge + migration (restore ownership invariant) + stats
+        new = {"pos": [], "prev": [], "vel": [], "last_pos": [],
+               "radius": [], "mass_t": [], "inv_mass": [], "batch_slot": [],
+               "color": []}
+        stats = []
+        info = []
+        for i, c in enumerate(carries):
+            se = static_env[i]
+            act_l = c["batch_slot"] >= 0
+            fields = jnp.concatenate([
+                c["pos"], c["prev"], c["vel"], c["last"],
+                c["radius"][:, None], c["mass_t"][:, None],
+                c["inv_mass"][:, None],
+                c["batch_slot"].astype(jnp.float32)[:, None],
+                c["color"]], axis=1)
+            dest_b, _ = owner_of(c["pos"], se["cell_size"], lay)
+            fields, act2, drop_y = _migrate_axis(
+                fields, act_l, _ring_dir(dest_b, band, lay.db),
+                BANDS, lay.db, lay.migrate_cap)
+            _, dest_x2 = owner_of(fields[:, 0:2], se["cell_size"], lay)
+            fields, act3, drop_x = _migrate_axis(
+                fields, act2, _ring_dir(dest_x2, block, lay.dx),
+                BLOCKS, lay.dx, lay.migrate_cap)
+            act = act3
+            new["pos"].append(fields[:, 0:2])
+            new["prev"].append(fields[:, 2:4])
+            new["vel"].append(fields[:, 4:6])
+            new["last_pos"].append(fields[:, 6:8])
+            new["radius"].append(jnp.where(act, fields[:, 8], 0.0))
+            new["mass_t"].append(fields[:, 9])
+            new["inv_mass"].append(jnp.where(act, fields[:, 10], 0.0))
+            new["batch_slot"].append(jnp.where(
+                act, fields[:, 11].astype(jnp.int32), -1))
+            new["color"].append(fields[:, 12:16])
+
+            pos_f = fields[:, 0:2]
+            vel_f = fields[:, 4:6]
+            rad_f = jnp.where(act, fields[:, 8], 0.0)
+
+            def gmax(x):
+                return jax.lax.pmax(jax.lax.pmax(x, BANDS), BLOCKS)
+
+            def gmin(x):
+                return jax.lax.pmin(jax.lax.pmin(x, BANDS), BLOCKS)
+
+            n_act = jnp.maximum(_gsum(jnp.sum(act)), 1)
+            centroid = _gsum(jnp.sum(jnp.where(act[:, None], pos_f, 0.0),
+                                     axis=0)) / n_act
+            max_vel = jnp.sqrt(gmax(jnp.max(jnp.where(
+                act, jnp.sum(vel_f * vel_f, -1), 0.0))))
+            big = jnp.float32(3.4e38)
+            lo = gmin(jnp.min(jnp.where(act[:, None], pos_f - rad_f[:, None],
+                                        big), axis=0))
+            hi = gmax(jnp.max(jnp.where(act[:, None], pos_f + rad_f[:, None],
+                                        -big), axis=0))
+            mrad = jnp.maximum(gmax(jnp.max(rad_f)), 1.0)
+            bsum, bcount = solver_ops.batch_segment_sums(
+                pos_f, act, jnp.maximum(new["batch_slot"][i], 0),
+                state.max_batches)
+            bsum, bcount = _gsum(bsum), _gsum(bcount)
+            last_cent = _gsum(jnp.sum(jnp.where(
+                act[:, None], fields[:, 6:8], 0.0), axis=0)) / n_act
+            stats.append((centroid, max_vel, bsum, bcount, lo, hi, mrad,
+                          last_cent))
+            n_transit = _gsum(jnp.sum(act
+                                      & (c["slot"] >= (lay.gb + 2 * RP)
+                                         * (lay.lb + 2 * lay.lp))))
+            info.append(jnp.stack([_gsum(c["dropped"] + drop_y + drop_x),
+                                   n_transit]))
+
+        stacked = {k: jnp.stack(v) for k, v in new.items()}
+        (centroid, max_vel, bsum, bcount, lo, hi, mrad, last_cent) = (
+            jax.tree.map(lambda *x: jnp.stack(x), *stats))
+        new_state = state.replace(
+            pos=stacked["pos"], prev=stacked["prev"], vel=stacked["vel"],
+            last_pos=stacked["last_pos"], radius=stacked["radius"],
+            mass_t=stacked["mass_t"], inv_mass=stacked["inv_mass"],
+            batch_slot=stacked["batch_slot"], color=stacked["color"])
+        st = StepStats(aabb_min=lo, aabb_max=hi, centroid=centroid,
+                       last_centroid=last_cent, max_radius=mrad,
+                       max_velocity=max_vel, batch_pos_sum=bsum,
+                       batch_count=bcount)
+        return new_state, st, jnp.stack(info)
+
+    pvec = P(None, (BANDS, BLOCKS))
+    pmat = P(None, (BANDS, BLOCKS), None)
+    state_specs = ParticleState(
+        pos=pmat, prev=pmat, vel=pmat, last_pos=pmat, radius=pvec,
+        mass_t=pvec, inv_mass=pvec, batch_slot=pvec, color=pmat,
+        count=P(), batch_target=P(), batch_radius=P(), batch_used=P())
+    cfg_specs = jax.tree.map(lambda _: P(), DeviceConfig(
+        *([0.0] * 15), jnp.zeros(4), jnp.zeros(4)))
+    stats_specs = StepStats(
+        aabb_min=P(), aabb_max=P(), centroid=P(), last_centroid=P(),
+        max_radius=P(), max_velocity=P(), batch_pos_sum=P(), batch_count=P())
+
+    from ._compat import shard_map_compat
+    fn = shard_map_compat(
+        _shard_body, mesh=mesh,
+        in_specs=(state_specs, cfg_specs, P(), P(), P()),
         out_specs=(state_specs, stats_specs, P()))
     return jax.jit(fn)
 

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Round-3 profiling: per-piece timings of the 1M bench scene.
+
+Prints the static render options the bench actually uses (k, bins, tiles, ds)
+plus chained device timings of each render/step piece, so optimization
+targets are measured, not guessed. See memory: all timings chain >=10
+iterations in one dispatch (27 ms tunnel RTT).
+"""
+import json
+import os
+import statistics
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bench import build_handler
+from egg_fluid_simulation_tpu.ops import render as render_ops
+from egg_fluid_simulation_tpu.ops import solver as solver_ops
+
+N = int(os.environ.get("PROF_N", "1000000"))
+CHAIN = int(os.environ.get("PROF_CHAIN", "10"))
+
+
+def timed(fn, n_trials=3):
+    times = []
+    for t in range(n_trials + 1):
+        t0 = time.perf_counter()
+        fn()
+        dt = (time.perf_counter() - t0) * 1000
+        if t >= 1:
+            times.append(dt)
+    return statistics.median(times)
+
+
+def chain_ms(make_step, init, chain=CHAIN, n_trials=3):
+    """Time `chain` dependence-chained applications of make_step in one jit."""
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            return make_step(c), None
+        out, _ = jax.lax.scan(body, x, None, length=chain)
+        return out
+
+    out = loop(init)  # compile
+    jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
+
+    def run():
+        r = loop(init)
+        jax.device_get(jax.tree.leaves(r)[0].ravel()[0])
+
+    return timed(run, n_trials) / chain
+
+
+def main():
+    h = build_handler(N)
+    h.run_steps(2)
+    opts2 = render_ops.frame_options(h)
+    for i, o in enumerate(opts2):
+        nb = render_ops._tile_bins(o)
+        print(f"pop{i}: canvas={o.canvas_size} ds={o.downsample} eff={o.eff_size} "
+              f"tile=({o.tile_h},{o.tile_w}) bin=({o.bin_h},{o.bin_w}) "
+              f"k={o.tile_capacity} splat={o.max_splat_px} "
+              f"w_bins={nb.shape[1]} n_tiles={nb.shape[0]} "
+              f"cand_per_px={nb.shape[1]*o.tile_capacity}", flush=True)
+    counts = h.get_n_particles()
+    stats = h.stats
+    for i in range(2):
+        lo = np.asarray(stats.aabb_min[i]); hi = np.asarray(stats.aabb_max[i])
+        area = float(max(hi[0]-lo[0], 1) * max(hi[1]-lo[1], 1))
+        print(f"pop{i}: n={counts[i]} aabb={lo}->{hi} density={counts[i]/area:.5f}/px^2",
+              flush=True)
+
+    state = h.state
+    cfg2 = h._device_cfg2()
+    options = h._options
+    dt, relax = h._step_scalars(1 / 60)
+    active = state.active_mask()
+    caps = options.pop_caps or (state.capacity, state.capacity)
+
+    cents = jnp.stack([stats.centroid[i] for i in range(2)])
+
+    # --- render pieces, per population ---
+    res = {}
+    for i in range(2):
+        o = opts2[i]
+        cap = min(caps[i], state.capacity)
+        cfg = jax.tree.map(lambda a: a[i], cfg2)
+        pos = state.pos[i, :cap]; last = state.last_pos[i, :cap]
+        vel = state.vel[i, :cap]; rad = state.radius[i, :cap]
+        col = state.color[i, :cap]; act = active[i, :cap]
+
+        def splat(c, _o=o, _cfg=cfg, pos=pos, last=last, vel=vel, rad=rad,
+                  col=col, act=act, i=i):
+            a, _, ov = render_ops.splat_population(
+                pos + c * 0, last, vel, rad, col, act, cents[i],
+                jnp.float32(1.0), _cfg.texture_scale, _cfg.motion_blur, _o,
+                upsample=False)
+            return jnp.sum(a) * 1e-9
+
+        res[f"splat_{i}_ms"] = round(chain_ms(splat, jnp.float32(0.0)), 3)
+
+        def binning(c, _o=o, pos=pos, act=act, i=i):
+            p_canvas = (pos + c * 0 - (cents[i] - 0.5 * _o.canvas_size)) / _o.downsample
+            table, ov = render_ops._bin_particles(p_canvas, act, _o)
+            return jnp.sum(table) * 1e-9 + ov.astype(jnp.float32) * 0
+
+        res[f"render_bin_{i}_ms"] = round(chain_ms(binning, jnp.float32(0.0)), 3)
+
+        s = o.eff_size
+        alpha0 = jnp.zeros((s, s), jnp.float32)
+
+        def post(a, _o=o, _cfg=cfg):
+            rgba = render_ops.render_population(
+                a + 1e-6, None, _cfg, jnp.float32(0.3), jnp.float32(0.01),
+                True, _o, px_scale=float(_o.downsample))
+            return rgba[..., 3] * 1e-3
+
+        res[f"post_{i}_ms"] = round(chain_ms(post, alpha0), 3)
+
+    # --- full frame ---
+    thr = jnp.float32(0.3); smooth = jnp.float32(0.01)
+    view = float(max(o.canvas_size for o in opts2))
+    center = np.asarray(stats.centroid[0])
+    origin = jnp.asarray(center - view / 2.0, jnp.float32)
+    vw = vh = int(view)
+
+    def frame(c):
+        f, _, _ = render_ops._render_frame(
+            state, stats, cfg2, jnp.float32(1.0) + c * 0, thr, smooth, origin,
+            opts2, True, vw, vh, pop_caps=options.pop_caps)
+        return jnp.sum(f) * 1e-9
+
+    res["frame_ms"] = round(chain_ms(frame, jnp.float32(0.0)), 3)
+
+    # --- step ---
+    def step(s):
+        s2, _ = solver_ops._step_impl(s, cfg2, dt, relax, options,
+                                      with_stats=False)
+        return s2
+
+    res["step_ms"] = round(chain_ms(step, state), 3)
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -242,3 +242,42 @@ def test_collective_bytes_are_boundary_sized():
     # 1D all-gather at 1M particles moves ~16B x 1M x (D-1)/D per pass
     allgather_per_pass = 16 * 1_000_000 * 31 // 32
     assert cb["total_per_step"] < allgather_per_pass / 3
+
+
+def test_spatial_multi_step_matches_stepwise(mesh22):
+    """Plane-resident multi-step (one dispatch, drift-adaptive rebin +
+    migration inside a global cond) vs N x spatial_step. Same envelope style
+    as the single-chip resident gates: aggregate statistics, since chaotic
+    pair-set differences below the drift threshold amplify pointwise."""
+    h = _handler(options=OPTIONS_FAST, spread=True)
+    lay, mesh, step = mesh22
+    st0 = S.redistribute(h.state, _cell_sizes(h), lay, mesh)
+    cfg2 = h._device_cfg2()
+    dt = jnp.float32(1 / 60)
+    relax = jnp.float32(1.0)
+
+    multi = S.spatial_multi_step(mesh, lay, OPTIONS_FAST)
+    st_m, stats_m, info_m = multi(st0, cfg2, dt, relax, jnp.int32(5))
+
+    st_s = st0
+    for _ in range(5):
+        st_s, stats_s, info_s = step(st_s, cfg2, dt, relax)
+
+    assert np.asarray(info_m)[:, 0].sum() == 0, "no migration drops expected"
+    for i in range(2):
+        m_live = np.asarray(st_m.batch_slot[i]) >= 0
+        s_live = np.asarray(st_s.batch_slot[i]) >= 0
+        assert m_live.sum() == s_live.sum()
+        pm = np.asarray(st_m.pos[i])[m_live]
+        ps = np.asarray(st_s.pos[i])[s_live]
+        cm, cs = pm.mean(axis=0), ps.mean(axis=0)
+        assert np.abs(cm - cs).max() < 1.0, (i, cm, cs)
+        sm = np.linalg.norm(pm - cm, axis=1).mean()
+        ss = np.linalg.norm(ps - cs, axis=1).mean()
+        assert abs(sm - ss) / max(ss, 1e-6) < 0.08, (i, sm, ss)
+        np.testing.assert_allclose(np.asarray(stats_m.centroid[i]),
+                                   np.asarray(stats_s.centroid[i]),
+                                   rtol=1e-2, atol=1.0)
+    # the same compile serves another step count (traced n_steps)
+    st_m2, _, _ = multi(st0, cfg2, dt, relax, jnp.int32(2))
+    assert np.isfinite(np.asarray(st_m2.pos)).all()

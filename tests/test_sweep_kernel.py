@@ -100,3 +100,47 @@ def test_placement_kernel_with_cell_overflow():
                           aux_cols=aux, use_placement=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(got.planes), np.asarray(ref.planes))
     np.testing.assert_array_equal(np.asarray(got.aux), np.asarray(ref.aux))
+
+
+def test_placement_window_truncation_degrades_to_budget_drop():
+    """A chunk whose cells hold more overflow than the kernel's window slack
+    loses the span's tail entries from placement. That loss must degrade
+    EXACTLY like a per-cell-cap budget drop: the affected particles read
+    FIELD_OCC = 0 at their slot and the extraction path routes them to the
+    no-collision fallback instead of reading zero positions."""
+    from egg_fluid_simulation_tpu.ops import solver as S
+    from egg_fluid_simulation_tpu.ops.pallas import place_kernel as P
+
+    g, k = 32, 4
+    lanes = g * k
+    rng = np.random.default_rng(13)
+    # one cell holding far more than _OVERFLOW_SLACK entries, then a few
+    # particles in the NEXT cells of the same placement chunk
+    n_crowd = P._OVERFLOW_SLACK + 300
+    xy = np.concatenate([
+        rng.uniform(0, 7.9, (n_crowd, 2)),               # cell (0, 0)
+        np.stack([rng.uniform(8.1, 15.9, 40), rng.uniform(0, 7.9, 40)], 1),
+    ]).astype(np.float32)                                # cell (1, 0)
+    n = xy.shape[0]
+    pos = jnp.asarray(xy)
+    inv_mass = jnp.ones((n,), jnp.float32)
+    radius = jnp.full((n,), 4.0)
+    batch = jnp.zeros((n,), jnp.int32)
+    active = jnp.ones((n,), bool)
+    aux = jnp.asarray(rng.normal(size=(n, 7)), jnp.float32)
+
+    got = D.bin_to_planes(pos, inv_mass, radius, batch, active,
+                          jnp.float32(8.0), grid_dim=g, slots_per_cell=k,
+                          aux_cols=aux, use_placement=True, interpret=True)
+    p, prev, vel, in_grid = S._plane_extract(got.planes, got.aux, got.slot,
+                                             g, lanes)
+    in_grid = np.asarray(in_grid)
+    slot = np.asarray(got.slot)
+    # some particles with a valid slot were truncated out of the window ...
+    truncated = (slot < g * lanes) & ~in_grid
+    assert truncated.sum() > 0
+    # ... and every particle flagged in-grid extracts its true position
+    p = np.asarray(p)
+    np.testing.assert_allclose(p[in_grid], xy[in_grid], atol=0)
+    # nobody in-grid collapsed to the zero slot
+    assert (np.abs(p[in_grid]).sum(axis=1) > 0).all()
