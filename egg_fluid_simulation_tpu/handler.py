@@ -110,7 +110,8 @@ class SimulationHandler:
                  capacity: int = 4096, max_batches: int = 256,
                  options: Optional[SolverOptions] = None,
                  canvas_size: Optional[int] = None,
-                 jacobi_relaxation: float = 1.0):
+                 jacobi_relaxation: float = 1.0,
+                 render_post_mode: str = "coarse"):
         if yolk_config is None:
             yolk_config = white_config  # :426
         log.assert_types(white_config, "table", yolk_config, "table")
@@ -131,6 +132,12 @@ class SimulationHandler:
         self._canvas_msaa = 4
         self._particle_texture_padding = 3
         self._particle_texture_resolution_factor = 4
+
+        # outline/lighting resolution: "coarse" (fastest), "full", or
+        # "super" — the 2x-supersampled analog of the reference's MSAA-4
+        # canvases (:453, :1962); see RenderOptions.post_mode
+        assert render_post_mode in ("coarse", "full", "super")
+        self._render_post_mode = render_post_mode
 
         self._capacity = int(capacity)
         self._auto_opts = options is None

@@ -91,6 +91,8 @@ class SweepParams(NamedTuple):
     collision_overlap_factor: jnp.ndarray
     cohesion_factor: jnp.ndarray
     max_pairs: jnp.ndarray     # ordered-budget cutoff; +inf when budget off
+    cell_size: jnp.ndarray = jnp.float32(1.0)  # for the wide sweep's
+                               # FRESH-cell pair mask (see sweep_planes_jnp)
 
     def pack(self) -> jnp.ndarray:
         vals = [jnp.asarray(v, jnp.float32) for v in self]
@@ -234,17 +236,18 @@ def update_cum_field(binning: DenseBinning, cum: jnp.ndarray) -> DenseBinning:
     return binning._replace(planes=fill_halo(planes))
 
 
-def lane_mask(lanes: int, k: int, d: int) -> jnp.ndarray:
-    """(lanes,) bool — pairs (l, l-d) whose cells are within +-1 column.
+def lane_mask(lanes: int, k: int, d: int, window: int = 1) -> jnp.ndarray:
+    """(lanes,) bool — pairs (l, l-d) whose cells are within +-window columns.
 
     cell(l) - cell(l-d) = -floor((s - d) / k) for s = l mod k; the mask keeps
-    |cell diff| <= 1, exactly the reference's 3x3 scan (:1568-1569). The
-    pattern is k-periodic, so it is identical at the lane wrap — where rolled
-    pairs straddle columns 0 and G-1, which are adjacent on the torus.
+    |cell diff| <= window (window=1 is the reference's 3x3 scan,
+    :1568-1569). The pattern is k-periodic, so it is identical at the lane
+    wrap — where rolled pairs straddle columns 0 and G-1, which are adjacent
+    on the torus.
     """
     s = jnp.arange(lanes) % k
     cell_diff = -jnp.floor_divide(s - d, k)
-    return jnp.abs(cell_diff) <= 1
+    return jnp.abs(cell_diff) <= window
 
 
 def _roll_lanes(x: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -261,14 +264,26 @@ def _row_slice(planes, dy):
 
 
 def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
-                     cohesion: bool, ordered_budget: bool) -> jnp.ndarray:
+                     cohesion: bool, ordered_budget: bool,
+                     window: int = 1, fresh_mask: bool = False) -> jnp.ndarray:
     """Full-grid pair sweep, jnp fallback. Returns (2, G, L) corrections.
 
     Semantically identical to the Pallas kernel (ops/pallas/sweep_kernel.py);
     math follows ``_enforce_distance`` (reference :1514-1545) with each slot
     applying its own half of each pair's correction.
+
+    ``window=3, fresh_mask=True`` is the WIDE sweep used during violent
+    phases: the scan covers +-3 STALE cells but pairs are admitted only when
+    their FRESH cells (recomputed from current positions) are within +-1 —
+    exactly the pair set a per-pass hash rebuild would produce
+    (reference :1866-1879) as long as no particle drifted a full cell since
+    binning, at zero extra sorts. Measured on the 500-particle settle
+    explosion: per-step binning alone errs ~20%% in spread vs the sequential
+    oracle, per-PASS rebuild 0.1%% — the entire gap is intra-substep
+    membership staleness, which the fresh-cell mask removes.
     """
     lanes = planes.shape[2]
+    g = lanes // k
     s = _row_slice(planes, 0)
     sx, sy, sw, sr = s[FIELD_X], s[FIELD_Y], s[FIELD_W], s[FIELD_R]
     sb, scum, sidx, socc = (s[FIELD_BATCH], s[FIELD_CUM],
@@ -276,58 +291,102 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
 
     tx = jnp.zeros_like(sx)
     ty = jnp.zeros_like(sy)
-    (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs) = params
+    (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
+     cell_size) = params
+    if fresh_mask:
+        # fresh torus cells from CURRENT positions (planes are updated in
+        # place every pass; only slot membership goes stale)
+        fx_all = jnp.mod(jnp.floor(planes[FIELD_X] / cell_size), g)
+        fy_all = jnp.mod(jnp.floor(planes[FIELD_Y] / cell_size), g)
+        fresh = jnp.stack([fx_all, fy_all])                  # (2, rows, L)
+        sfx = _row_slice(fresh, 0)[0]
+        sfy = _row_slice(fresh, 0)[1]
 
-    for dy in (-1, 0, 1):
-        o_rows = _row_slice(planes, dy)
-        for d in range(-(2 * k - 1), 2 * k):
-            if dy == 0 and d == 0:
-                continue                                   # self pairing
-            mask = lane_mask(lanes, k, d)[None, :]
-            o = _roll_lanes(o_rows, d)
-            ox, oy, ow, orr = o[FIELD_X], o[FIELD_Y], o[FIELD_W], o[FIELD_R]
-            ob, ocum, oidx, oocc = (o[FIELD_BATCH], o[FIELD_CUM],
-                                    o[FIELD_IDX], o[FIELD_OCC])
+    def torus_adjacent(a, b):
+        dd = jnp.mod(a - b + g // 2, g) - g // 2
+        return jnp.abs(dd) <= 1
 
-            ddx = ox - sx
-            ddy = oy - sy
-            dist2 = ddx * ddx + ddy * ddy
-            # rsqrt replaces sqrt+divide (exact to float rounding; coincident
-            # pairs give inv_dist = 0, the reference's eps guard :1531)
-            inv_dist = jnp.where(dist2 > EPS * EPS,
-                                 jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
-                                 0.0)
-            dist = dist2 * inv_dist
+    def pair_terms(tx, ty, o, mask):
+        ox, oy, ow, orr = o[FIELD_X], o[FIELD_Y], o[FIELD_W], o[FIELD_R]
+        ob, ocum, oidx, oocc = (o[FIELD_BATCH], o[FIELD_CUM],
+                                o[FIELD_IDX], o[FIELD_OCC])
 
-            valid = (socc > 0.0) & (oocc > 0.0) & mask
-            if ordered_budget:
-                cum_min = jnp.where(oidx < sidx, ocum, scum)
-                valid = valid & (cum_min < max_pairs)
+        ddx = ox - sx
+        ddy = oy - sy
+        dist2 = ddx * ddx + ddy * ddy
+        # rsqrt replaces sqrt+divide (exact to float rounding; coincident
+        # pairs give inv_dist = 0, the reference's eps guard :1531)
+        inv_dist = jnp.where(dist2 > EPS * EPS,
+                             jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
+                             0.0)
+        dist = dist2 * inv_dist
 
-            w_sum = sw + ow
-            ok = valid & (w_sum >= EPS)                    # :1601
+        valid = (socc > 0.0) & (oocc > 0.0) & mask
+        if ordered_budget:
+            cum_min = jnp.where(oidx < sidx, ocum, scum)
+            valid = valid & (cum_min < max_pairs)
 
-            scale = jnp.zeros_like(dist)
-            # clip(-viol/D, ±|viol|) == -viol/max(D, 1) for D >= EPS (which
-            # `ok` guarantees; the result is masked outside `ok`): |corr| <=
-            # |viol| iff D >= 1 — the reference's correction clamp :1535-1536
-            # folded into the division
-            if cohesion:
-                same = sb == ob
-                coh_d = cohesion_f * (sr + orr)
-                viol = dist - coh_d
-                corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
-                scale = scale + jnp.where(ok & same & (dist2 <= coh_d * coh_d),
-                                          corr * sw, 0.0)
+        w_sum = sw + ow
+        ok = valid & (w_sum >= EPS)                    # :1601
 
-            min_d = overlap_f * (sr + orr)
-            viol = dist - min_d
-            corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
-            scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
+        scale = jnp.zeros_like(dist)
+        # clip(-viol/D, ±|viol|) == -viol/max(D, 1) for D >= EPS (which
+        # `ok` guarantees; the result is masked outside `ok`): |corr| <=
+        # |viol| iff D >= 1 — the reference's correction clamp :1535-1536
+        # folded into the division
+        if cohesion:
+            same = sb == ob
+            coh_d = cohesion_f * (sr + orr)
+            viol = dist - coh_d
+            corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
+            scale = scale + jnp.where(ok & same & (dist2 <= coh_d * coh_d),
                                       corr * sw, 0.0)
 
-            tx = tx + (-ddx * inv_dist) * scale
-            ty = ty + (-ddy * inv_dist) * scale
+        min_d = overlap_f * (sr + orr)
+        viol = dist - min_d
+        corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
+        scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
+                                  corr * sw, 0.0)
+
+        tx = tx + (-ddx * inv_dist) * scale
+        ty = ty + (-ddy * inv_dist) * scale
+        return tx, ty
+
+    d_hi = (window + 1) * k                            # d in [-(d_hi-1), d_hi)
+    for dy in range(-window, window + 1):
+        o_rows = _row_slice(planes, dy)
+        of_rows = _row_slice(fresh, dy) if fresh_mask else None
+
+        def terms_at(tx, ty, d, static_d: bool):
+            """Pair terms at lane offset d (python int when static_d)."""
+            roll = _roll_lanes if static_d else (
+                lambda x, dd: jnp.roll(x, dd, axis=-1))
+            mask = lane_mask(lanes, k, d, window)[None, :]
+            if dy == 0:
+                mask = mask & (jnp.asarray(d) != 0)        # self pairing
+            o = roll(o_rows, d)
+            if fresh_mask:
+                ofr = roll(of_rows, d)
+                mask = (mask & torus_adjacent(sfx, ofr[0])
+                        & torus_adjacent(sfy, ofr[1]))
+            return pair_terms(tx, ty, o, mask)
+
+        if window == 1:
+            # hot narrow path: static unroll (cheap — 4k-1 offsets)
+            for d in range(-(d_hi - 1), d_hi):
+                if dy == 0 and d == 0:
+                    continue
+                tx, ty = terms_at(tx, ty, d, True)
+        else:
+            # wide path: a traced-offset loop — unrolling the up-to-8k
+            # offsets x 7 rows of window=3 ballooned compile time on the
+            # CPU-mesh paths (the jnp sweep is the fallback/golden model,
+            # not the hot path; the Pallas kernel stays fully unrolled)
+            def body(j, c):
+                tx, ty = c
+                return terms_at(tx, ty, j - (d_hi - 1), False)
+
+            tx, ty = jax.lax.fori_loop(0, 2 * d_hi - 1, body, (tx, ty))
 
     return jnp.stack([tx, ty])
 

@@ -33,7 +33,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CellGrid", "build_grid", "neighbor_candidates", "NEIGHBOR_OFFSETS"]
+__all__ = ["CellGrid", "build_grid", "neighbor_candidates",
+           "NEIGHBOR_OFFSETS", "count_pairs_mxu"]
 
 # Knuth-style multiplicative constants; any well-mixed odd constants work.
 _HASH_X = jnp.uint32(0x9E3779B1)
@@ -99,6 +100,40 @@ def segmented_rank(sorted_keys: jnp.ndarray) -> jnp.ndarray:
                                 sorted_keys[1:] != sorted_keys[:-1]])
     run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
     return idx - run_start
+
+
+def count_pairs_mxu(hi: jnp.ndarray, lo: jnp.ndarray, n_hi: int, n_lo: int,
+                    chunk: int = 1 << 16) -> jnp.ndarray:
+    """(n_hi, n_lo) occurrence counts of id pairs via one MXU contraction.
+
+    ``counts[r, c] = #{i : hi_i == r and lo_i == c}`` computed as
+    ``A @ B`` with ``A[r, i] = [hi_i == r]`` and ``B[i, c] = [lo_i == c]`` —
+    indicator entries are exact in bf16 and the f32 accumulation is exact for
+    counts below 2^24. Replaces searchsorted-based histogram/edge builds:
+    ``jnp.searchsorted``'s default method='scan' serializes over queries
+    (measured ~0.5 us/query — ~3 ms for one 6k-bin edge table at 1M keys),
+    while this runs at MXU rate (~0.3 ms for the same shape). Ids outside
+    ``[0, n_hi) x [0, n_lo)`` (e.g. sentinel rows) count toward nothing.
+    """
+    n = hi.shape[0]
+    ids_h = jnp.arange(n_hi, dtype=jnp.int32)
+    ids_l = jnp.arange(n_lo, dtype=jnp.int32)
+
+    def one(args):
+        h, l = args
+        a = (ids_h[:, None] == h[None, :]).astype(jnp.bfloat16)   # (H, C)
+        b = (l[:, None] == ids_l[None, :]).astype(jnp.bfloat16)   # (C, L)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    if n <= chunk:
+        return one((hi.astype(jnp.int32), lo.astype(jnp.int32)))
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    h_p = jnp.pad(hi.astype(jnp.int32), (0, pad), constant_values=n_hi)
+    l_p = jnp.pad(lo.astype(jnp.int32), (0, pad), constant_values=n_lo)
+    parts = jax.lax.map(one, (h_p.reshape(n_chunks, chunk),
+                              l_p.reshape(n_chunks, chunk)))
+    return jnp.sum(parts, axis=0)
 
 
 def neighbor_candidates(grid: CellGrid) -> jnp.ndarray:

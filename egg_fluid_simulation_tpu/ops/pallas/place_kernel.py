@@ -163,9 +163,26 @@ def place_planes(slot_sorted, pack_sorted, g: int, k: int,
         jnp.float32(g * lanes))
     pack_t = jnp.concatenate([pack_t, sentinel], axis=1)
 
-    block_starts = jnp.arange(0, g * lanes, sub, dtype=jnp.int32)
     key = slot_sorted if search_key is None else search_key
-    starts = jnp.searchsorted(key, block_starts).astype(jnp.int32)
+    n_chunks = (g * lanes) // sub
+    if sub & (sub - 1) == 0:
+        # starts via per-chunk COUNTS (MXU one-hot) + cumsum: searchsorted's
+        # per-query scan serialized over the ~2k chunk queries (~1-2 ms at
+        # production shapes). chunk id = key >> log2(sub); sentinel keys land
+        # at n_chunks and count toward nothing.
+        from ..grid import count_pairs_mxu
+        shift = sub.bit_length() - 1
+        cid = jax.lax.shift_right_logical(key, shift)
+        n_lo = min(64, n_chunks)
+        n_hi = -(-n_chunks // n_lo)
+        cnt = count_pairs_mxu(cid // n_lo, cid % n_lo, n_hi, n_lo)
+        flat = cnt.reshape(-1)[:n_chunks]
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32),
+             jnp.cumsum(flat)])[:-1].astype(jnp.int32)
+    else:
+        block_starts = jnp.arange(0, g * lanes, sub, dtype=jnp.int32)
+        starts = jnp.searchsorted(key, block_starts).astype(jnp.int32)
     flat = _place_pallas(pack_t, starts, g, k, win, interpret=interpret)
     rows = g + 2 * D.ROW_PAD
     out = jnp.zeros((_F_PAD, rows, lanes), jnp.float32)

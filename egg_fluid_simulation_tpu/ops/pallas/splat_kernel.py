@@ -1,0 +1,148 @@
+"""Pallas TPU kernel: per-tile gaussian splat accumulation.
+
+The render's dominant cost is evaluating every candidate particle's rotated
+anisotropic gaussian against every pixel of its evaluation tile and
+screen-blending the results (``1 - prod(1 - g)``) — the TPU-side equivalent
+of the reference's instanced textured-quad draw with
+``glBlendFunc(GL_ONE_MINUS_DST_ALPHA, GL_ONE)`` accumulation
+(/root/reference/simulation_handler.lua:2046-2064,
+simulation_handler_particle_texture.glsl:6-17,
+simulation_handler_instanced_draw.glsl:14-44).
+
+In plain XLA this pass is a ``vmap``-over-tiles ``lax.scan`` over candidate
+chunks (ops/render.py:splat_population): every chunk step materializes its
+(tiles, th, tw, chunk) intermediates through HBM, which measured ~15 ms at
+the 1M headline (640^2 effective canvas, 720 candidates/px) — ~6x over the
+arithmetic's VPU cost. This kernel runs the same math VMEM-resident:
+
+- XLA pre-gathers each tile's candidate window into a dense
+  ``(n_tiles, F, C)`` tensor (a bandwidth-cheap row gather of the bin-resident
+  payload table, ~0.4 ms round trip at 1M) with fields on a minor-major axis
+  so each 128-candidate chunk is one lane-aligned VMEM slice per field.
+- One program per TILE GROUP: Mosaic auto-pipelines the (TG, F, C) input
+  block and (TG, th, tw) output block DMAs across the 1D grid.
+- Per tile, the kernel keeps a running elementwise ``prod(1 - g)`` over
+  (th, tw, 128) chunk blocks and reduces over the candidate lanes ONCE at
+  the end — a single HBM write per tile, zero materialized intermediates.
+
+The jnp scan path in ops/render.py remains the golden model and the CPU /
+particle-color fallback; unit tests diff the two in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["splat_tiles", "on_tpu"]
+
+_CHUNK = 128      # candidates per eval block: the minor (lane) dim
+_TILE_GROUP = 8   # tiles per program; amortizes per-program ramp + DMA issue
+
+# payload field order — must match splat_population's ``pack`` columns
+# (ops/render.py): x, y, cos, sin, extent_perp, extent_par, inv_sx, inv_sy, a
+_N_F = 9
+
+_GAUSS_COEFF = float(4.0 * 3.14159265358979323846 / 3.0)
+
+
+def on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _make_kernel(tg: int, th: int, tw: int, n_chunks: int, ntx: int,
+                 max_splat_px: int):
+    gauss = _GAUSS_COEFF          # python floats: jnp scalars would be
+    icap = 1.0 / float(max_splat_px)  # captured tracer constants
+
+    def kernel(cand_ref, out_ref):
+        i = pl.program_id(0)
+        # pixel centers of tile t (global tile id = i*tg + t), in effective
+        # canvas pixels; iota is 2D-safe on Mosaic via broadcasted_iota
+        # Mosaic iota is integer-only
+        py_g = jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw, 1), 0).astype(jnp.float32) + 0.5
+        px_g = jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw, 1), 1).astype(jnp.float32) + 0.5
+
+        for t in range(tg):
+            tid = i * tg + t
+            ty = tid // ntx
+            tx = tid % ntx
+            px = px_g + (tx * tw).astype(jnp.float32)        # (th, tw, 1)
+            py = py_g + (ty * th).astype(jnp.float32)
+
+            acc = jnp.ones((th, tw, _CHUNK), jnp.float32)
+            for c in range(n_chunks):
+                def f(j):                                     # (1, 1, CHUNK)
+                    return cand_ref[t, j, c * _CHUNK:(c + 1) * _CHUNK][
+                        None, None, :]
+
+                pcx, pcy, ca, sa = f(0), f(1), f(2), f(3)
+                isx, isy, ap = f(6), f(7), f(8)
+                # fold the normalization into the rotation row-vectors —
+                # (1, 1, C) ops are ~free next to the (th, tw, C) terms
+                cax, sax = ca * isx, sa * isx
+                cay, say = ca * isy, sa * isy
+                dx = px - pcx                                 # (th, tw, C)
+                dy = py - pcy
+                # rotate into the velocity frame, pre-normalized by the quad
+                # extents (instanced_draw.glsl:27-35): isx == 1/extent_par
+                # exactly, so the quad test |d_par| <= extent becomes
+                # |nx| <= 1 (empty/padded slots: extent 0 -> isx = 1/EPS ->
+                # nx huge -> excluded)
+                nx = dx * cax + dy * sax
+                ny = dy * cay - dx * say
+                r2 = nx * nx + ny * ny
+                # quad extent + static splat cap (texture clampzero analog)
+                # as ONE normalized box test
+                m = jnp.maximum(
+                    jnp.maximum(jnp.abs(nx), jnp.abs(ny)),
+                    icap * jnp.maximum(jnp.abs(dx), jnp.abs(dy)))
+                g = jnp.where(m <= 1.0, jnp.exp(-gauss * r2) * ap, 0.0)
+                acc = acc * (1.0 - g)                         # screen blend
+            # one lane reduction per tile: product over the candidate axis
+            # (pairwise halving — Mosaic has no reduce_prod primitive)
+            w = _CHUNK
+            while w > 1:
+                w //= 2
+                acc = acc[..., :w] * acc[..., w:2 * w]
+            out_ref[t] = 1.0 - acc[..., 0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "ntx",
+                                             "max_splat_px", "interpret"))
+def splat_tiles(cand: jnp.ndarray, th: int, tw: int, ntx: int,
+                max_splat_px: int, interpret: bool = False) -> jnp.ndarray:
+    """(n_tiles, th, tw) accumulated splat alpha per evaluation tile.
+
+    ``cand``: (n_tiles, F, C) per-tile candidate payload, fields as in
+    splat_population's pack (C padded to a multiple of 128 with zeros —
+    zero extent admits no pixel). n_tiles must be a multiple of the tile
+    group when grouping applies.
+    """
+    n_tiles, n_f, c_pad = cand.shape
+    assert n_f == _N_F, (n_f, _N_F)
+    assert c_pad % _CHUNK == 0
+    tg = _TILE_GROUP
+    while n_tiles % tg:
+        tg //= 2
+    n_chunks = c_pad // _CHUNK
+
+    kernel = _make_kernel(tg, th, tw, n_chunks, ntx, max_splat_px)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles // tg,),
+        in_specs=[pl.BlockSpec((tg, n_f, c_pad), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((tg, th, tw), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(cand)

@@ -34,14 +34,14 @@ _BLOCK_ROWS = 32  # rows per program; larger blocks amortize the 2*ROW_PAD
                   # DMA halo (only +-1 row is read) and the per-program ramp
 
 
-def _lane_mask_2d(rows: int, lanes: int, k: int, d: int):
-    """(1, lanes) bool — cells of pair (l, l-d) within +-1 column.
+def _lane_mask_2d(rows: int, lanes: int, k: int, d: int, window: int = 1):
+    """(1, lanes) bool — cells of pair (l, l-d) within +-window columns.
 
     Row-invariant; broadcasting the single row into the pair terms is free
     compared to materializing (rows, lanes) per d."""
     s = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1) % k
     cell_diff = -jnp.floor_divide(s - d, k)
-    return jnp.abs(cell_diff) <= 1
+    return jnp.abs(cell_diff) <= window
 
 
 def _roll(x, d):
@@ -58,14 +58,18 @@ def _roll(x, d):
 
 
 def _pair_terms(block, r0: int, rows: int, k: int, params,
-                cohesion: bool, ordered_budget: bool, count_only: bool):
+                cohesion: bool, ordered_budget: bool, count_only: bool,
+                window: int = 1, fresh_mask: bool = False):
     """Shared sweep body over self rows [r0, r0+rows) of a (F, R, L) block.
 
     Returns (tx, ty) correction sums, or the examined-pair count when
     ``count_only`` — the same static loop structure as
     :func:`...ops.dense.sweep_planes_jnp` / ``count_planes_jnp``.
+    ``window``/``fresh_mask`` implement the wide violent-phase sweep (see
+    the jnp golden model's docstring).
     """
     lanes = block.shape[-1]
+    g = lanes // k
 
     def rowsl(f, dy):
         return block[f][r0 + dy:r0 + dy + rows]  # static slice (Mosaic-lowerable)
@@ -80,7 +84,19 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
     else:
         tx = jnp.zeros_like(sx)
         ty = jnp.zeros_like(sy)
-        collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs = params
+        (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
+         cell_size) = params
+
+    FX, FY = "FX", "FY"  # derived fresh-cell pseudo-fields
+    if fresh_mask:
+        fresh = {FX: jnp.mod(jnp.floor(block[D.FIELD_X] / cell_size), g),
+                 FY: jnp.mod(jnp.floor(block[D.FIELD_Y] / cell_size), g)}
+        sfx = fresh[FX][r0:r0 + rows]
+        sfy = fresh[FY][r0:r0 + rows]
+
+        def torus_adj(a, b):
+            dd = jnp.mod(a - b + g // 2, g) - g // 2
+            return jnp.abs(dd) <= 1.0
 
     # Only the fields this pass reads get rolled — lane shifts are pure VMEM
     # shuffle traffic, the kernel's second-largest cost after the pair math.
@@ -94,20 +110,31 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
     if cohesion and not count_only:
         need.append(D.FIELD_BATCH)
 
+    def plane_of(f):
+        return fresh[f] if f in (FX, FY) else block[f]
+
+    if fresh_mask:
+        need = need + [FX, FY]
+
     # roll once per lane offset d (dy-independent), slice rows per dy —
     # cuts roll op count 3x vs rolling inside the dy loop; only the
-    # [r0-1, r0+rows+1) window the dy slices read gets rolled
-    for d in range(-(2 * k - 1), 2 * k):
-        mask = _lane_mask_2d(rows, lanes, k, d)
-        rolled = {f: _roll(block[f][r0 - 1:r0 + rows + 1], d) for f in need}
-        for dy in (-1, 0, 1):
+    # [r0-w, r0+rows+w) window the dy slices read gets rolled
+    w = window
+    for d in range(-((w + 1) * k - 1), (w + 1) * k):
+        mask = _lane_mask_2d(rows, lanes, k, d, w)
+        rolled = {f: _roll(plane_of(f)[r0 - w:r0 + rows + w], d)
+                  for f in need}
+        for dy in range(-w, w + 1):
             if dy == 0 and d == 0:
                 continue
-            o_block = {f: rolled[f][1 + dy:1 + dy + rows]
+            o_block = {f: rolled[f][w + dy:w + dy + rows]
                        for f in need}
             oocc = o_block[D.FIELD_OCC]
             oidx = o_block.get(D.FIELD_IDX)
             valid = (socc > 0.0) & (oocc > 0.0) & mask
+            if fresh_mask:
+                valid = (valid & torus_adj(sfx, o_block[FX])
+                         & torus_adj(sfy, o_block[FY]))
 
             if count_only:
                 acc = acc + jnp.where(valid & (oidx > sidx), 1.0, 0.0)
@@ -157,7 +184,7 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
 
 
 def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
-                 block_rows: int):
+                 block_rows: int, window: int = 1, fresh_mask: bool = False):
     def kernel(params_ref, planes_hbm, out_ref, scratch, sem):
         i = pl.program_id(0)
         # rows [i*B, i*B + B + 2*ROW_PAD): 8-row aligned (Mosaic DMA tiling);
@@ -168,9 +195,10 @@ def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
         dma.start()
         dma.wait()
         block = scratch[:]
-        params = tuple(params_ref[j] for j in range(5))
+        params = tuple(params_ref[j] for j in range(6))
         out = _pair_terms(block, D.ROW_PAD, block_rows, k, params,
-                          cohesion, ordered_budget, count_only)
+                          cohesion, ordered_budget, count_only,
+                          window=window, fresh_mask=fresh_mask)
         if count_only:
             out_ref[:] = out
         else:
@@ -181,15 +209,18 @@ def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "cohesion", "ordered_budget", "interpret"))
+                   static_argnames=("k", "cohesion", "ordered_budget",
+                                    "window", "fresh_mask", "interpret"))
 def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
-                  ordered_budget: bool, interpret: bool = False):
+                  ordered_budget: bool, window: int = 1,
+                  fresh_mask: bool = False, interpret: bool = False):
     f, g2, lanes = planes.shape
     g = g2 - 2 * D.ROW_PAD
     b = min(_BLOCK_ROWS, g)
     assert g % b == 0, "dense_grid_dim must be a multiple of the sweep block"
 
-    kernel = _make_kernel(k, cohesion, ordered_budget, False, b)
+    kernel = _make_kernel(k, cohesion, ordered_budget, False, b,
+                          window=window, fresh_mask=fresh_mask)
     return pl.pallas_call(
         kernel,
         grid=(g // b,),
@@ -244,11 +275,18 @@ def _on_tpu() -> bool:
 
 
 def sweep_planes(planes, params: "D.SweepParams", k: int, *, cohesion: bool,
-                 ordered_budget: bool, use_pallas: bool = True):
-    """(2, G, L) pair-correction sums; Pallas on TPU, jnp elsewhere."""
+                 ordered_budget: bool, use_pallas: bool = True,
+                 window: int = 1, fresh_mask: bool = False):
+    """(2, G, L) pair-correction sums; Pallas on TPU, jnp elsewhere.
+
+    ``window=3, fresh_mask=True`` selects the violent-phase wide sweep (the
+    per-pass-rebuild-equivalent pair set; see dense.sweep_planes_jnp)."""
     if use_pallas and _on_tpu():
-        return _sweep_pallas(planes, params.pack(), k, cohesion, ordered_budget)
-    return D.sweep_planes_jnp(planes, params, k, cohesion, ordered_budget)
+        return _sweep_pallas(planes, params.pack(), k, cohesion,
+                             ordered_budget, window=window,
+                             fresh_mask=fresh_mask)
+    return D.sweep_planes_jnp(planes, params, k, cohesion, ordered_budget,
+                              window=window, fresh_mask=fresh_mask)
 
 
 def count_planes(planes, k: int, *, use_pallas: bool = True):

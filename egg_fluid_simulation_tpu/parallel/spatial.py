@@ -87,11 +87,12 @@ class SpatialLayout(NamedTuple):
 
     @property
     def lp(self) -> int:
-        # halo lanes per side: >= the 2K-1 roll reach, rounded up to the
-        # 64-lane half-tile so the padded width stays lane-tile aligned for
-        # the Pallas sweep kernel; 64 % K == 0 keeps the lane mask's
+        # halo lanes per side: >= the 4K-1 roll reach of the WIDE
+        # (window=3) violent-phase sweep, rounded up to the 64-lane
+        # half-tile so the padded width stays lane-tile aligned for the
+        # Pallas sweep kernel; 64 % K == 0 keeps the lane mask's
         # K-periodicity in phase
-        return max(2 * self.slots_per_cell, 64)
+        return max(4 * self.slots_per_cell, 64)
 
     def check(self):
         assert self.grid_dim % self.db == 0 and self.grid_dim % self.dx == 0
@@ -260,7 +261,7 @@ def _bin_local(pos, inv_mass, radius, batch_slot, active, cell_size,
 # ----------------------------------------------------------- plane sweep --
 
 def _sweep_local(planes, params, lay: SpatialLayout, cohesion: bool,
-                 use_pallas: bool):
+                 use_pallas: bool, wide: bool = False):
     """Jacobi pair sweep over the local padded window. (2, Gb, W) corrections.
 
     Reuses the single-chip lane-roll sweep: the lane mask is K-periodic and
@@ -268,11 +269,20 @@ def _sweep_local(planes, params, lay: SpatialLayout, cohesion: bool,
     lane phase; halo lanes receive garbage corrections that the subsequent
     halo refresh overwrites. On TPU this runs the production Pallas kernel
     (the padded width is lane-tile aligned by ``SpatialLayout.lp``); off-TPU
-    it falls back to the jnp golden model automatically."""
+    it falls back to the jnp golden model automatically.
+
+    ``wide`` selects the violent-phase window=3 + fresh-cell-mask sweep
+    (ops/solver._adaptive_substep_run). It is halo-safe here: the row halo
+    (ROW_PAD=8) covers the +-3 row reach and ``lp >= 4K`` covers the 4K-1
+    lane roll; the fresh-mask's mod-g cell adjacency is preserved under the
+    local window's own modulus because interacting pairs differ by <= 1
+    global cell."""
     from ..ops.pallas import sweep_kernel
     return sweep_kernel.sweep_planes(planes, params, lay.slots_per_cell,
                                      cohesion=cohesion, ordered_budget=False,
-                                     use_pallas=use_pallas)
+                                     use_pallas=use_pallas,
+                                     window=3 if wide else 1,
+                                     fresh_mask=wide)
 
 
 # ------------------------------------------------------------- migration --
@@ -372,14 +382,56 @@ def _pop_env(cfg, mass_t, active, batch_slot, batch_target, follow_radius,
                 tx=rows3[:, 0], ty=rows3[:, 1], td=2.0 * rows3[:, 2])
 
 
+def _psum_sum(x):
+    """Global scalar sum of an array over the 2D spatial mesh."""
+    return jax.lax.psum(jax.lax.psum(jnp.sum(x), BANDS), BLOCKS)
+
+
 def _plane_run_local(planes, aux, env, sub_dt, relaxation,
                      options: SolverOptions, lay: SpatialLayout,
-                     cohesion: bool):
+                     cohesion: bool, n_live=None, wide=None):
     """``n_substeps`` of the substep pipeline in local plane layout; X/Y
     halos re-exchanged after every collision pass (the spatial analog of
-    ops/solver._plane_run)."""
+    ops/solver._plane_run + the violence-gated wide sweep of
+    ops/solver._adaptive_substep_run).
+
+    The wide gate's drift metric reduces over REAL rows/lanes only and is
+    ``psum``-ed over the mesh, so every device takes the same
+    ``lax.cond`` branch (the ppermutes inside the branches stay uniform).
+    Returns ``(planes, aux, wide)`` — resident callers carry ``wide``
+    across steps like the single-chip paths."""
     A = solver_ops
+    thresh2 = (options.wide_threshold_cells * env["cell_size"]) ** 2
+    gb, lb, lp = lay.gb, lay.lb, lay.lp
+
+    def real(x):
+        return x[RP:RP + gb, lp:lp + lb]
+
+    occ = real(planes[dense_ops.FIELD_OCC])
+    if n_live is None:
+        n_live = jnp.maximum(_psum_sum(occ), 1.0)
+    n_occ = jnp.maximum(_psum_sum(occ), 1.0)
+
+    def rel_over(dxp, dyp):
+        """Count of occupied real slots whose drift relative to the global
+        population mean exceeds the violence threshold."""
+        mx = _psum_sum(dxp) / n_occ
+        my = _psum_sum(dyp) / n_occ
+        rel2 = (dxp - mx * occ) ** 2 + (dyp - my * occ) ** 2
+        return _psum_sum(rel2 > thresh2)
+
+    # velocity-predicted movement gates the very first substep (see
+    # ops/solver._adaptive_substep_run)
+    pred = rel_over(real(aux[A.AUX_VX]) * occ * sub_dt,
+                    real(aux[A.AUX_VY]) * occ * sub_dt)
+    pred_wide = pred > options.wide_tolerance * n_live
+    wide = pred_wide if wide is None else (wide | pred_wide)
+
     for _ in range(options.n_substeps):
+        # full-substep movement reference (integration + corrections), like
+        # the single-chip gate — decisions must match it exactly
+        move_ref = (real(planes[dense_ops.FIELD_X]),
+                    real(planes[dense_ops.FIELD_Y]))
         px, py = planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y]
         vx = aux[A.AUX_VX] * env["damp"]
         vy = aux[A.AUX_VY] * env["damp"]
@@ -394,23 +446,33 @@ def _plane_run_local(planes, aux, env, sub_dt, relaxation,
         planes = (planes.at[dense_ops.FIELD_X].set(x + dx)
                         .at[dense_ops.FIELD_Y].set(y + dy))
 
-        def collision_pass(_, pl):
-            corr = _sweep_local(pl, env["params"], lay, cohesion,
-                                options.use_pallas)
-            pl = (pl.at[dense_ops.FIELD_X, RP:RP + lay.gb]
-                    .add(relaxation * corr[0])
-                    .at[dense_ops.FIELD_Y, RP:RP + lay.gb]
-                    .add(relaxation * corr[1]))
-            # refresh only the X/Y halos the correction touched
-            return pl.at[:2].set(_exchange_halos(pl[:2], lay))
+        def passes(w):
+            def f(pl):
+                def collision_pass(_, pl):
+                    corr = _sweep_local(pl, env["params"], lay, cohesion,
+                                        options.use_pallas, wide=w)
+                    pl = (pl.at[dense_ops.FIELD_X, RP:RP + lay.gb]
+                            .add(relaxation * corr[0])
+                            .at[dense_ops.FIELD_Y, RP:RP + lay.gb]
+                            .add(relaxation * corr[1]))
+                    # refresh only the X/Y halos the correction touched
+                    return pl.at[:2].set(_exchange_halos(pl[:2], lay))
 
-        planes = jax.lax.fori_loop(0, options.n_collision_steps,
-                                   collision_pass, planes)
+                return jax.lax.fori_loop(0, options.n_collision_steps,
+                                         collision_pass, pl)
+            return f
+
+        planes = jax.lax.cond(wide, passes(True), passes(False), planes)
+        # movement DURING this substep decides the next substep's window
+        n_over = rel_over(
+            (real(planes[dense_ops.FIELD_X]) - move_ref[0]) * occ,
+            (real(planes[dense_ops.FIELD_Y]) - move_ref[1]) * occ)
+        wide = n_over > options.wide_tolerance * n_live
         aux = (aux.at[A.AUX_VX]
                   .set((planes[dense_ops.FIELD_X] - aux[A.AUX_PX]) / sub_dt)
                   .at[A.AUX_VY]
                   .set((planes[dense_ops.FIELD_Y] - aux[A.AUX_PY]) / sub_dt))
-    return planes, aux
+    return planes, aux, wide
 
 
 def _extract_local(planes, aux, slot):
@@ -475,8 +537,10 @@ def spatial_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
         aux = _exchange_halos(aux, lay)
 
         cohesion = options.cohesion_mode == "spacing"
-        planes, aux = _plane_run_local(planes, aux, env, sub_dt, relaxation,
-                                       options, lay, cohesion)
+        n_live = jnp.maximum(_psum_sum(active), 1).astype(jnp.float32)
+        planes, aux, _wide = _plane_run_local(planes, aux, env, sub_dt,
+                                              relaxation, options, lay,
+                                              cohesion, n_live=n_live)
         p_pl, prev_pl, v_pl, in_grid = _extract_local(planes, aux, slot)
 
         # fallback: pre-solve + follow only (reference past-cutoff behavior)
@@ -697,9 +761,12 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
                        inv_mass=c["inv_mass"], radius=c["radius"],
                        tx=c["tx"], ty=c["ty"], td=c["td"])
             last = c["pos"]  # pre-step positions anchor frame interpolation
-            planes, aux = _plane_run_local(c["planes"], c["aux"], env,
-                                           sub_dt, relaxation, options, lay,
-                                           cohesion)
+            n_live_f = jnp.maximum(_psum_sum(act), 1).astype(jnp.float32)
+            planes, aux, wide = _plane_run_local(c["planes"], c["aux"], env,
+                                                 sub_dt, relaxation, options,
+                                                 lay, cohesion,
+                                                 n_live=n_live_f,
+                                                 wide=c["wide"])
             fb_p, fb_prev, fb_v = _fallback_steps(c["pos"], c["vel"], env,
                                                   act, sub_dt, n_sub)
             p_pl, prev_pl, v_pl, in_grid = _extract_local(planes, aux,
@@ -720,7 +787,7 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
             need = n_over > options.rebin_tolerance * n_live
 
             c = dict(c, planes=planes, aux=aux, pos=p, prev=pr, vel=v,
-                     last=last)
+                     last=last, wide=wide)
 
             def rebin(c):
                 # migrate movers one mesh hop (y then x), then rebin +
@@ -755,13 +822,16 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
                     batch_slot=batch_slot, color=fields[:, 12:16],
                     inv_mass=env2["inv_mass"], radius=env2["radius"],
                     tx=env2["tx"], ty=env2["ty"], td=env2["td"],
-                    dropped=c["dropped"] + drop_y + drop_x)
+                    dropped=c["dropped"] + drop_y + drop_x, wide=c["wide"])
 
             return jax.lax.cond(need, rebin, lambda c: c, c)
 
-        # per-particle bin-time positions for the drift metric
+        # per-particle bin-time positions for the drift metric; violence
+        # (wide-sweep) state carries across steps like the single-chip
+        # resident loop
         for c in carries:
             c["ref_pos"] = c["pos"]
+            c["wide"] = jnp.bool_(False)
 
         def body(_, cs):
             return tuple(pop_body(i, c) for i, c in enumerate(cs))

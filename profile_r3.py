@@ -136,6 +136,63 @@ def main():
 
     res["frame_ms"] = round(chain_ms(frame, jnp.float32(0.0)), 3)
 
+    # --- step pieces (white pop, dense engine internals) ---
+    import jax.numpy as jnp
+    from egg_fluid_simulation_tpu.ops import dense as dense_ops
+    from egg_fluid_simulation_tpu.ops.pallas import place_kernel, sweep_kernel
+
+    i = 0
+    cap = min(caps[0], state.capacity)
+    cfg = jax.tree.map(lambda a: a[i], cfg2)
+    act0 = active[i, :cap]
+    cc, coc = solver_ops._compliance_scalars(cfg, dt, options)
+    cell_size, params = solver_ops._dense_params(cfg, act0, cc, coc, options)
+    g = options.dense_grid_dim[i]
+    k = options.dense_slots[i]
+    pos = state.pos[i, :cap]
+    vel = state.vel[i, :cap]
+    inv_mass = jnp.where(state.inv_mass[i, :cap] > 0,
+                         state.inv_mass[i, :cap], 0.0)
+    radius = state.radius[i, :cap]
+    batch = state.batch_slot[i, :cap]
+
+    def binning_piece(c):
+        aux_cols = jnp.stack([pos[:, 0] + c * 0, pos[:, 1], vel[:, 0],
+                              vel[:, 1], pos[:, 0], pos[:, 1],
+                              jnp.zeros_like(pos[:, 0])], axis=1)
+        b = dense_ops.bin_to_planes(pos + c * 0, inv_mass, radius, batch,
+                                    act0, cell_size, grid_dim=g,
+                                    slots_per_cell=k, aux_cols=aux_cols,
+                                    use_placement=place_kernel.on_tpu())
+        return jnp.sum(b.planes) * 1e-9 + jnp.sum(b.slot) * 1e-12
+
+    res["bin_ms"] = round(chain_ms(binning_piece, jnp.float32(0.0)), 3)
+
+    aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
+                          pos[:, 0], pos[:, 1],
+                          jnp.zeros_like(pos[:, 0])], axis=1)
+    b = dense_ops.bin_to_planes(pos, inv_mass, radius, batch, act0,
+                                cell_size, grid_dim=g, slots_per_cell=k,
+                                aux_cols=aux_cols,
+                                use_placement=place_kernel.on_tpu())
+
+    for label, window, fresh in (("sweep_ms", 1, False),
+                                 ("sweep_wide_ms", 3, True)):
+        def sweep_piece(pl, _w=window, _f=fresh):
+            corr = sweep_kernel.sweep_planes(
+                pl, params, k, cohesion=False, ordered_budget=False,
+                window=_w, fresh_mask=_f)
+            return pl.at[dense_ops.FIELD_X].add(corr[0] * 1e-6)
+
+        res[label] = round(chain_ms(sweep_piece, b.planes), 3)
+
+    def extract_piece(c):
+        p, pr, v, ing = solver_ops._plane_extract(
+            b.planes + c * 0, b.aux, b.slot, g, g * k)
+        return jnp.sum(p) * 1e-9
+
+    res["extract_ms"] = round(chain_ms(extract_piece, jnp.float32(0.0)), 3)
+
     # --- step ---
     def step(s):
         s2, _ = solver_ops._step_impl(s, cfg2, dt, relax, options,

@@ -78,3 +78,23 @@ def test_grid_vmaps_over_populations():
         p, a, jnp.float32(8.0), table_size=64, slots_per_cell=32).table)
     tables = build(pos, active)
     assert tables.shape == (2, 65, 32)
+
+
+def test_count_pairs_mxu_exact_counts():
+    """The MXU one-hot histogram equals numpy's, including sentinel ids
+    outside the table (counted toward nothing) and the chunked path."""
+    rng = np.random.default_rng(3)
+    n_hi, n_lo = 7, 13
+    hi = rng.integers(0, n_hi + 2, 5000)          # some out-of-range
+    lo = rng.integers(0, n_lo + 1, 5000)
+    ref = np.zeros((n_hi, n_lo))
+    ok = (hi < n_hi) & (lo < n_lo)
+    np.add.at(ref, (hi[ok], lo[ok]), 1.0)
+    got = grid_ops.count_pairs_mxu(jnp.asarray(hi, jnp.int32),
+                                   jnp.asarray(lo, jnp.int32), n_hi, n_lo)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    # chunked path (n > chunk) must agree bit-for-bit
+    got_c = grid_ops.count_pairs_mxu(jnp.asarray(hi, jnp.int32),
+                                     jnp.asarray(lo, jnp.int32), n_hi, n_lo,
+                                     chunk=1024)
+    np.testing.assert_array_equal(np.asarray(got_c), ref)

@@ -266,3 +266,34 @@ def test_auto_options_pick_downsample_for_big_splats():
     o2 = R.auto_render_options(cfg_small, 2048)
     assert o2.downsample == 1
 
+
+
+def test_pallas_splat_kernel_matches_scan_path():
+    """The Pallas tile kernel (ops/pallas/splat_kernel.py, interpret mode)
+    must reproduce the jnp scan path's accumulated alpha bit-close — same
+    math, different loop nesting/accumulation order."""
+    rng = np.random.default_rng(21)
+    n, canvas = 300, 256
+    positions = rng.uniform(20.0, 236.0, (n, 2)).astype(np.float32)
+    vels = rng.normal(0.0, 60.0, (n, 2)).astype(np.float32)
+    opts = R.RenderOptions(canvas_size=canvas, tile_h=8, tile_w=16,
+                           bin_h=8, bin_w=8, max_splat_px=12,
+                           tile_capacity=8)
+    p = jnp.asarray(positions)
+    last = p - 0.25 * jnp.asarray(vels)  # exercise interpolation too
+    v = jnp.asarray(vels)
+    r = jnp.asarray(rng.uniform(0.5, 1.2, (n,)), jnp.float32)
+    c = jnp.concatenate(
+        [jnp.ones((n, 3)), jnp.asarray(rng.uniform(0.3, 1.0, (n, 1)))],
+        axis=1).astype(jnp.float32)
+    act = jnp.asarray(rng.random(n) < 0.9)
+    center = jnp.asarray([128.0, 128.0], jnp.float32)
+    args = (p, last, v, r, c, act, center, jnp.float32(0.4),
+            jnp.float32(8.0), jnp.float32(0.002), opts)
+
+    ref, _, _ = R.splat_population(*args, use_pallas=False)
+
+    payload, _ = R._splat_payload(*args)
+    nb = R._tile_bins(opts)
+    got = np.asarray(R._splat_alpha_kernel(payload, nb, opts, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)

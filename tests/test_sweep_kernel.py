@@ -42,6 +42,85 @@ def test_sweep_kernel_matches_jnp_model(binning, cohesion, budget):
                                rtol=1e-4, atol=1e-5)
 
 
+PARAMS8 = PARAMS._replace(cell_size=jnp.float32(8.0))
+
+
+def _per_particle(corr, slot, g, lanes):
+    """Scatter (2, G, L) slot corrections back to particle order."""
+    flat = np.asarray(corr).reshape(2, g * lanes)
+    slot = np.asarray(slot)
+    ok = slot < g * lanes
+    safe = np.minimum(slot, g * lanes - 1)
+    return np.where(ok[None, :], flat[:, safe], 0.0).T
+
+
+def test_wide_sweep_on_fresh_binning_matches_narrow(binning):
+    """window=3 + fresh_mask on a just-built binning admits exactly the
+    narrow +-1 pair set (every fresh cell equals its stale cell)."""
+    ref = D.sweep_planes_jnp(binning.planes, PARAMS8, 4, False, False)
+    got = D.sweep_planes_jnp(binning.planes, PARAMS8, 4, False, False,
+                             window=3, fresh_mask=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_wide_sweep_matches_per_pass_rebuild_after_drift():
+    """The violent-phase wide sweep's pair set on a STALE binning must equal
+    a narrow sweep on a freshly REBUILT binning (the per-pass hash rebuild
+    the reference performs, :1866-1879) while drift stays under a cell."""
+    n, g, k = 600, 32, 8   # k=8: no cell exceeds the slot cap in either
+    lanes = g * k          # layout (a cap drop would legitimately change the
+    cell = 8.0             # dropped particle's neighbors' pair sets)
+    rng = np.random.default_rng(5)
+    pos0 = rng.uniform(16.0, 240.0, (n, 2)).astype(np.float32)
+    drift = rng.uniform(-0.2 * cell, 0.2 * cell, (n, 2)).astype(np.float32)
+    pos1 = pos0 + drift
+    inv_mass = jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32)
+    radius = jnp.full((n,), 4.0)
+    batch = jnp.asarray(rng.integers(0, 3, (n,)), jnp.int32)
+    active = jnp.asarray(rng.random(n) < 0.9)
+
+    b0 = D.bin_to_planes(jnp.asarray(pos0), inv_mass, radius, batch, active,
+                         jnp.float32(cell), grid_dim=g, slots_per_cell=k)
+    # write the drifted positions into the STALE slot layout (what the
+    # solver's in-place pass updates do), keeping membership from pos0
+    rp = D.ROW_PAD
+    planes = b0.planes
+    for f, col in ((D.FIELD_X, 0), (D.FIELD_Y, 1)):
+        flat = planes[f, rp:rp + g].reshape(-1)
+        flat = flat.at[b0.slot].set(jnp.asarray(pos1[:, col]), mode="drop")
+        planes = planes.at[f, rp:rp + g].set(flat.reshape(g, lanes))
+    planes = D.refresh_halo_xy(planes)
+
+    wide = D.sweep_planes_jnp(planes, PARAMS8, k, False, False,
+                              window=3, fresh_mask=True)
+
+    b1 = D.bin_to_planes(jnp.asarray(pos1), inv_mass, radius, batch, active,
+                         jnp.float32(cell), grid_dim=g, slots_per_cell=k)
+    fresh = D.sweep_planes_jnp(b1.planes, PARAMS8, k, False, False)
+
+    got = _per_particle(wide, b0.slot, g, lanes)
+    ref = _per_particle(fresh, b1.slot, g, lanes)
+    # both layouts must be complete — a cap drop would change the dropped
+    # particle's NEIGHBORS' corrections, which no per-particle filter can
+    # mask out
+    n_act = int(np.asarray(active).sum())
+    keep = ((np.asarray(b0.slot) < g * lanes)
+            & (np.asarray(b1.slot) < g * lanes))
+    assert keep.sum() == n_act
+    np.testing.assert_allclose(got[keep], ref[keep], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("cohesion", [False, True])
+def test_wide_sweep_kernel_matches_jnp_model(binning, cohesion):
+    ref = D.sweep_planes_jnp(binning.planes, PARAMS8, 4, cohesion, False,
+                             window=3, fresh_mask=True)
+    got = K._sweep_pallas(binning.planes, PARAMS8.pack(), 4, cohesion, False,
+                          window=3, fresh_mask=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_count_kernel_matches_jnp_model(binning):
     ref = D.count_planes_jnp(binning.planes, 4)
     got = K._count_pallas(binning.planes, 4, interpret=True)
