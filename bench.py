@@ -106,7 +106,8 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
     from egg_fluid_simulation_tpu.ops import render as render_ops
     from egg_fluid_simulation_tpu.ops import solver as solver_ops
 
-    h.run_steps(1)  # stats for canvas bucket choice
+    h.run_steps(160)  # settle past the spawn transient (see main) + stats
+                      # for the canvas bucket choice
     # honesty: let the overflow auto-bump settle the per-bin budget BEFORE
     # freezing the options — the timed frames must drop zero particles
     h.draw(viewport=(0.0, 0.0, 256, 256), check_overflow=True)
@@ -137,22 +138,25 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
         return jnp.sum(frame)
 
     @jax.jit
-    def loop(state):
+    def loop(state, ws):
         # plane-resident frame loop: step + full render per iteration, the
         # binning amortized by drift-adaptive residency like a real app's
-        # persistent update->draw loop
+        # persistent update->draw loop; the violence-episode state threads
+        # across calls so the wide-sweep budget doesn't restart every trial
         return solver_ops.multi_step_frames(state, cfg2, dt, relax, options,
-                                            chain, frame_fn)
+                                            chain, frame_fn, wide_state=ws)
 
     state = h.state
+    ws = h._wide_or_init()
 
     def run():
-        nonlocal state
-        state, acc = loop(state)
+        nonlocal state, ws
+        state, acc, ws = loop(state, ws)
         jax.device_get(acc)
 
     ms = median_ms(run, n_trials) / chain
     h._state = state
+    h._wide_state = ws
 
     # honesty: re-render one frame of the FINAL state with overflow counters
     # read and assert the per-bin render budget dropped nothing (the
@@ -205,6 +209,11 @@ def main() -> None:
             n = 65_536
         h = build_handler(n)
         total = sum(h.get_n_particles())
+        # settle past the spawn transient: the violence-gated wide sweep
+        # (SolverOptions.wide_budget_substeps) covers the explosion for up
+        # to ~2 simulated seconds; the headline measures the steady state
+        # an interactive app lives in, not the one-off spawn shock
+        h.run_steps(160)
         ms = step_ms(h, chain, n_trials=5)
         results[f"step_ms_{label}"] = round(ms, 3)
         results[f"particle_steps_per_sec_{label}"] = round(total / ms * 1000, 0)

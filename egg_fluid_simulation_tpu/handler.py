@@ -195,6 +195,7 @@ class SimulationHandler:
 
     def _reinitialize(self) -> None:
         """Reset all simulation state (reference ``_reinitialize`` :465-563)."""
+        self._wide_state = None  # fresh violence episode (see _wide_or_init)
         self._state: ParticleState = zeros_state(self._capacity, self._max_batches)
         self._stats: StepStats = zeros_stats(self._max_batches)
         self._batches: Dict[int, dict] = {}   # id -> {slot, n_white, n_yolk, colors}
@@ -235,6 +236,9 @@ class SimulationHandler:
             white_color=None, yolk_color=None,
             white_n_particles=None, yolk_n_particles=None) -> int:
         """Add a new egg batch; returns its integer id (reference :27-135)."""
+        # a spawn is a fresh violent transient: restart the wide-sweep
+        # episode so its budget covers the new batch's settle explosion
+        self._wide_state = None
         wcfg, ycfg = self._white_config, self._yolk_config
         white_particle_radius = mix(wcfg["min_radius"], wcfg["max_radius"], 0.5)
         yolk_particle_radius = mix(ycfg["min_radius"], ycfg["max_radius"], 0.5)
@@ -433,8 +437,9 @@ class SimulationHandler:
         max_n_steps = max(4, 4 * math.ceil((1 / 60) / step_delta))  # :203
         stepped = False
         while self._elapsed >= step_delta:
-            self._state, self._stats = solver_ops.step(
-                self._state, cfg2, dt, relax, self._options)
+            self._state, self._stats, self._wide_state = solver_ops.step(
+                self._state, cfg2, dt, relax, self._options,
+                wide_state=self._wide_or_init())
             stepped = True
             self._elapsed -= step_delta
             n_steps += 1
@@ -468,8 +473,9 @@ class SimulationHandler:
         self._flush_targets()
         self._check_caps()
         dt, relax = self._step_scalars(step_delta)
-        self._state, self._stats = solver_ops.step(
-            self._state, self._device_cfg2(), dt, relax, self._options)
+        self._state, self._stats, self._wide_state = solver_ops.step(
+            self._state, self._device_cfg2(), dt, relax, self._options,
+            wide_state=self._wide_or_init())
         self._frames = None
 
     def run_steps(self, n_steps: int, step_delta: float = 1 / 60) -> None:
@@ -485,10 +491,22 @@ class SimulationHandler:
         self._flush_targets()
         self._check_caps()
         dt, relax = self._step_scalars(step_delta)
-        self._state, self._stats = solver_ops.multi_step(
+        self._state, self._stats, self._wide_state = solver_ops.multi_step(
             self._state, self._device_cfg2(), dt, relax, self._options,
-            int(n_steps))
+            int(n_steps), wide_state=self._wide_or_init())
         self._frames = None
+
+    def _wide_or_init(self):
+        """Persisted violence-episode state of the wide-sweep gate.
+
+        Kept across update()/step_once()/run_steps() calls so the per-episode
+        wide-sweep budget (SolverOptions.wide_budget_substeps) means what it
+        says; reset whenever the population changes (add) so a fresh spawn
+        explosion always starts a new episode."""
+        if getattr(self, "_wide_state", None) is None:
+            self._wide_state = (solver_ops.wide_state_init(self._options),
+                                solver_ops.wide_state_init(self._options))
+        return self._wide_state
 
     def _check_caps(self) -> None:
         """Enforce the SolverOptions.pop_caps invariant (cap >= live count).

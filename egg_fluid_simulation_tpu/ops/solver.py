@@ -140,6 +140,23 @@ class SolverOptions:
                                     # (tests/test_fidelity_native.py).
     wide_tolerance: float = 0.02    # fraction of live particles past the
                                     # wide threshold before violence engages
+    wide_budget_substeps: int = 240 # wide substeps per violent EPISODE: the
+                                    # wide sweep targets TRANSIENT violence
+                                    # (spawn explosions, impacts — the
+                                    # regimes the 500/5k fidelity gates
+                                    # measure, whose violent phases run
+                                    # ~30 steps = 180 substeps). A scene
+                                    # that stays violent past the budget is
+                                    # statistically-stationary chaos (e.g. a
+                                    # permanently boiling 100%-packed
+                                    # scene), where per-pass pair fidelity
+                                    # has no trajectory meaning — it reverts
+                                    # to the narrow fast path until calm
+                                    # re-arms the trigger. 240 substeps =
+                                    # 2 s of simulated time at the 60 Hz / 2
+                                    # substep defaults.
+    wide_rearm_substeps: int = 12   # consecutive calm substeps that end an
+                                    # episode and refill the budget
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
@@ -595,6 +612,13 @@ def _plane_drift_over(planes, ref_xy, g: int, thresh2):
     return jnp.sum(rel2 > thresh2), n_occ, jnp.stack([mx, my])
 
 
+def wide_state_init(options: "SolverOptions"):
+    """Fresh violence-episode state ``(trip, budget, calm)`` for the
+    wide-sweep gate (see :func:`_adaptive_substep_run`)."""
+    return (jnp.bool_(False), jnp.int32(options.wide_budget_substeps),
+            jnp.int32(0))
+
+
 def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
                           fallback_substep, act, cell_size, damp,
                           follow_c, params, sub_dt, relaxation,
@@ -616,16 +640,27 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
     many substeps). Calm scenes pay one cheap metric per substep; the wide
     sweep costs ~4x a narrow one only while violence lasts.
 
-    Returns ``(planes, aux, fb_p, fb_prev, fb_v, wide)`` — callers with
-    step-resident state carry ``wide`` across steps so violence detected at
-    a step's end widens the next step's first substep too.
+    Violence response is per EPISODE: an uninterrupted violent phase gets
+    the wide sweep for up to ``options.wide_budget_substeps`` substeps —
+    enough to cover the whole transient the fidelity gates measure — after
+    which a scene that is STILL violent is statistically-stationary chaos
+    (a permanently boiling packed scene) and reverts to the narrow fast
+    path; ``wide_rearm_substeps`` consecutive calm substeps end the episode
+    and refill the budget, so the next real transient is caught again.
+
+    Returns ``(planes, aux, fb_p, fb_prev, fb_v, wstate)`` where ``wstate =
+    (trip, budget, calm)`` — callers with step-resident state carry it
+    across steps so violence detected at a step's end widens the next
+    step's first substep too (see :func:`wide_state_init`).
     """
     thresh2 = (options.wide_threshold_cells * cell_size) ** 2
     wide_tol = options.wide_tolerance
+    rearm = jnp.int32(options.wide_rearm_substeps)
+    full_budget = jnp.int32(options.wide_budget_substeps)
     rp = dense_ops.ROW_PAD
     n_live = jnp.maximum(jnp.sum(act), 1)
     # velocity-PREDICTED movement widens the very first substep too:
-    # stateless callers (step/step_once) reset `wide` every step, and
+    # stateless callers (step/step_once) reset the state every step, and
     # sustained violence is visible in the incoming velocity field (only a
     # cold spawn explosion's first substep escapes both detectors)
     occ = planes[dense_ops.FIELD_OCC, rp:rp + g]
@@ -635,10 +670,15 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
     mx = jnp.sum(pdx) / n_occ
     my = jnp.sum(pdy) / n_occ
     rel2 = (pdx - mx * occ) ** 2 + (pdy - my * occ) ** 2
-    pred_wide = jnp.sum(rel2 > thresh2) > wide_tol * n_live
-    wide = pred_wide if wide is None else (wide | pred_wide)
+    pred_trip = jnp.sum(rel2 > thresh2) > wide_tol * n_live
+    if wide is None:
+        wide = wide_state_init(options)
+    trip, budget, calm = wide
+    trip = trip | pred_trip
     move_ref = planes[:2]
     for s in range(n_sub):
+        wide_now = trip & (budget > 0)
+
         def run(w):
             def f(c):
                 pl, ax = c
@@ -647,14 +687,17 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
                                   cohesion=cohesion, ordered=ordered, wide=w)
             return f
 
-        planes, aux = jax.lax.cond(wide, run(True), run(False),
+        planes, aux = jax.lax.cond(wide_now, run(True), run(False),
                                    (planes, aux))
+        budget = jnp.where(wide_now, budget - 1, budget)
         fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
         # movement DURING this substep decides the next substep's window
         n_over, _, _ = _plane_drift_over(planes, move_ref, g, thresh2)
         move_ref = planes[:2]
-        wide = n_over > wide_tol * n_live
-    return planes, aux, fb_p, fb_prev, fb_v, wide
+        trip = n_over > wide_tol * n_live
+        calm = jnp.where(trip, 0, calm + 1)
+        budget = jnp.where(calm >= rearm, full_budget, budget)
+    return planes, aux, fb_p, fb_prev, fb_v, (trip, budget, calm)
 
 
 def _plane_extract(planes, aux, slot, g: int, lanes: int):
@@ -680,7 +723,7 @@ def _plane_extract(planes, aux, slot, g: int, lanes: int):
 def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
                            batch_target, follow_radius, sub_dt, relaxation,
                            options: SolverOptions, g: int, k: int,
-                           follow_rows=None):
+                           follow_rows=None, wide_state=None):
     """Whole-step dense path: one binning per step (or per substep), all
     substep math in plane layout; budget-dropped particles fall back to
     integration-without-collision (the reference's past-cutoff behavior,
@@ -737,11 +780,11 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
             return binning.planes, binning.aux, binning.slot
 
         planes, aux, slot = bin_now(pos, vel)
-        planes, aux, fb_p, fb_prev, fb_v, _wide = _adaptive_substep_run(
+        planes, aux, fb_p, fb_prev, fb_v, ws = _adaptive_substep_run(
             planes, aux, pos, pos, vel,
             fallback_substep, act, cell_size, damp, follow_c, params,
             sub_dt, relaxation, options, g, k, n_sub,
-            cohesion=cohesion, ordered=ordered)
+            cohesion=cohesion, ordered=ordered, wide=wide_state)
         p_pl, prev_pl, v_pl, in_grid = _plane_extract(planes, aux, slot,
                                                       g, lanes)
         sel = (in_grid & act)[:, None]
@@ -749,7 +792,7 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
         new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, pos))
         new_prev = jnp.where(sel, prev_pl, jnp.where(keep, fb_prev, pos))
         new_vel = jnp.where(sel, v_pl, jnp.where(keep, fb_v, vel))
-        return new_pos, new_prev, new_vel, inv_mass, radius
+        return new_pos, new_prev, new_vel, inv_mass, radius, ws
 
     # "substep": strict rebuild before every substep
     new_pos, new_vel = pos, vel
@@ -765,13 +808,16 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
         new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, new_pos))
         new_prev = jnp.where(sel, prev_pl, jnp.where(keep, fb_prev, new_prev))
         new_vel = jnp.where(sel, v_pl, jnp.where(keep, fb_v, new_vel))
-    return new_pos, new_prev, new_vel, inv_mass, radius
+    # the strict per-substep rebuild has no wide machinery; pass the episode
+    # state through untouched
+    ws = wide_state if wide_state is not None else wide_state_init(options)
+    return new_pos, new_prev, new_vel, inv_mass, radius, ws
 
 
 def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
                             follow_rows, sub_dt, relaxation,
                             options: SolverOptions, g: int, k: int,
-                            n_steps):
+                            n_steps, wide_state=None):
     """``n_steps`` whole fixed steps with ADAPTIVE plane residency.
 
     The dense state stays in grid layout across steps; a fresh binning (sort
@@ -877,15 +923,16 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
                 wide), None
 
     planes, aux, slot, ref_xy = bin_now(pos, vel)
-    carry = (planes, aux, slot, ref_xy, pos, pos, vel, pos, jnp.bool_(False))
+    ws0 = wide_state if wide_state is not None else wide_state_init(options)
+    carry = (planes, aux, slot, ref_xy, pos, pos, vel, pos, ws0)
     # fori_loop with a TRACED count: one compile serves every n_steps (the
     # resident graph costs minutes to compile; a lax.scan would key the jit
     # cache on the static length)
     carry = jax.lax.fori_loop(0, n_steps, lambda _, c: body(c, None)[0],
                               carry)
-    planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref, _wide = carry
+    planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref, ws = carry
     p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v)
-    return p, pr, v, inv_mass, radius
+    return p, pr, v, inv_mass, radius, ws
 
 
 # ----------------------------------------------------- classic substep path --
@@ -949,7 +996,13 @@ def substep(pos, prev, vel, inv_mass, radius, mass_t, batch_slot, active,
 
 def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
                relaxation, options: SolverOptions, with_stats: bool = True,
-               follow_rows=None) -> Tuple[ParticleState, Optional[StepStats]]:
+               follow_rows=None, wide_state=None):
+    """Returns ``(state, stats)`` — or ``(state, stats, wide_state_out)``
+    when ``wide_state`` (per-population violence-episode tuples, see
+    :func:`wide_state_init`) is passed: the episode budget only means
+    anything when callers persist it across calls."""
+    thread_wide = wide_state is not None
+    ws_out = [None, None]
     sub_dt = jnp.maximum(step_delta / options.n_substeps, EPS)  # :1723
     capacity = state.capacity
     caps = options.pop_caps or (capacity, capacity)
@@ -984,10 +1037,13 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
         k = options.dense_slots[i]
 
         if options.engine == "dense" and options.dense_rebin in ("step", "substep"):
-            pos, prev, vel, inv_mass, radius = _population_step_dense(
-                pos, vel, mass_t, batch_slot, act, cfg, state.batch_target,
-                follow_radius[i], sub_dt, relaxation, options, g, k,
-                follow_rows=None if follow_rows is None else follow_rows[i])
+            pos, prev, vel, inv_mass, radius, ws_out[i] = (
+                _population_step_dense(
+                    pos, vel, mass_t, batch_slot, act, cfg,
+                    state.batch_target, follow_radius[i], sub_dt, relaxation,
+                    options, g, k,
+                    follow_rows=None if follow_rows is None else follow_rows[i],
+                    wide_state=wide_state[i] if thread_wide else None))
         else:
             prev = state.prev[i, :cap]
             inv_mass = state.inv_mass[i, :cap]
@@ -1025,6 +1081,8 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
                               inv_mass=new_inv, radius=new_rad,
                               last_pos=last_pos)
     if not with_stats:
+        if thread_wide:
+            return new_state, None, tuple(ws_out)
         return new_state, None
 
     (centroid, max_vel, batch_sum, batch_count, lo, hi, mrad) = jax.tree.map(
@@ -1033,25 +1091,33 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
         aabb_min=lo, aabb_max=hi, centroid=centroid,
         last_centroid=last_centroid, max_radius=jnp.maximum(mrad, 1.0),
         max_velocity=max_vel, batch_pos_sum=batch_sum, batch_count=batch_count)
+    if thread_wide:
+        return new_state, stats, tuple(ws_out)
     return new_state, stats
 
 
 @functools.partial(jax.jit, static_argnames=("options",))
 def step(state: ParticleState, cfg2: DeviceConfig, step_delta: jnp.ndarray,
-         relaxation: jnp.ndarray, options: SolverOptions
-         ) -> Tuple[ParticleState, StepStats]:
+         relaxation: jnp.ndarray, options: SolverOptions,
+         wide_state=None):
     """One fixed step: both populations, all substeps (reference ``_step`` :1722-1989).
 
     ``cfg2`` is a :class:`DeviceConfig` with a leading (2,) population axis.
     Everything dynamic (configs, dt, relaxation) is traced, so live config
     edits and dt changes never recompile; only ``options`` is static.
+
+    Returns ``(state, stats)``; with ``wide_state`` (per-population
+    violence-episode tuples) it returns ``(state, stats, wide_state_out)`` —
+    interactive per-tick callers persist it so the wide-sweep episode
+    budget survives across ticks (see :func:`wide_state_init`).
     """
-    return _step_impl(state, cfg2, step_delta, relaxation, options)
+    return _step_impl(state, cfg2, step_delta, relaxation, options,
+                      wide_state=wide_state)
 
 
 def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
                       relaxation, options: SolverOptions, n_steps: int,
-                      frame_fn):
+                      frame_fn, wide_state=None):
     """Resident frame loop: one fixed step then ``frame_fn`` per iteration.
 
     The device-side analog of an interactive app's update->draw loop (and
@@ -1222,7 +1288,8 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         v0 = state.vel[i, :cap]
         planes, aux, slot, _ = bin_now(p0, v0, pp)
         init_pops.append((planes, aux, slot, p0, p0, p0, v0, p0,
-                          jnp.bool_(False)))
+                          wide_state[i] if wide_state is not None
+                          else wide_state_init(options)))
     n_a0 = jnp.maximum(jnp.sum(active_full, axis=1), 1)
     cent0 = (jnp.sum(jnp.where(active_full[..., None], state.pos, 0.0),
                      axis=1) / n_a0[:, None])
@@ -1230,22 +1297,30 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
     (pop_carries, centroid, acc), _ = jax.lax.scan(
         body, carry, jnp.arange(n_steps, dtype=jnp.int32))
     new_state = state
+    ws_out = []
     for pp, c in zip(pops, pop_carries):
         i, cap = pp["i"], pp["cap"]
-        planes, aux, slot, ref_p, p, pr, v, last_p, _wide = c
+        planes, aux, slot, ref_p, p, pr, v, last_p, ws = c
+        ws_out.append(ws)
         new_state = new_state.replace(
             pos=new_state.pos.at[i, :cap].set(p),
             prev=new_state.prev.at[i, :cap].set(pr),
             vel=new_state.vel.at[i, :cap].set(v),
             last_pos=new_state.last_pos.at[i, :cap].set(last_p))
+    if wide_state is not None:
+        return new_state, acc, tuple(ws_out)
     return new_state, acc
 
 
 @functools.partial(jax.jit, static_argnames=("options",))
 def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
-               relaxation, options: SolverOptions, n_steps
-               ) -> Tuple[ParticleState, StepStats]:
+               relaxation, options: SolverOptions, n_steps,
+               wide_state=None):
     """``n_steps`` dependence-chained fixed steps in ONE dispatch.
+
+    Returns ``(state, stats)`` — or ``(state, stats, wide_state_out)`` when
+    ``wide_state`` is passed (per-population violence-episode state; persist
+    it across calls or the wide-sweep budget restarts every call).
 
     The device executes the steps back-to-back with no host round-trips —
     the headless fast-forward API (and the honest way to measure per-step
@@ -1269,6 +1344,10 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
         for i in range(2))
 
     n_steps = jnp.asarray(n_steps, jnp.int32)
+    thread_wide = wide_state is not None
+    if not thread_wide:
+        wide_state = (wide_state_init(options), wide_state_init(options))
+    wide_state = list(wide_state)
     use_resident = (options.engine == "dense" and options.dense_rebin == "step"
                     and options.budget_mode == "off"
                     and options.adaptive_rebin)
@@ -1282,12 +1361,13 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
         for i in range(2):
             cap = caps[i]
             cfg = jax.tree.map(lambda a: a[i], cfg2)
-            p, pr, v, im, rad = _population_multi_dense(
+            p, pr, v, im, rad, wide_state[i] = _population_multi_dense(
                 state.pos[i, :cap], state.vel[i, :cap],
                 state.mass_t[i, :cap], state.batch_slot[i, :cap],
                 active_full[i, :cap], cfg, follow_rows[i], sub_dt,
                 relaxation, options, options.dense_grid_dim[i],
-                options.dense_slots[i], jnp.maximum(n_steps - 1, 0))
+                options.dense_slots[i], jnp.maximum(n_steps - 1, 0),
+                wide_state=wide_state[i])
             new_pos = new_pos.at[i, :cap].set(p)
             new_prev = new_prev.at[i, :cap].set(pr)
             new_vel = new_vel.at[i, :cap].set(v)
@@ -1296,11 +1376,21 @@ def multi_step(state: ParticleState, cfg2: DeviceConfig, step_delta,
         state = state.replace(pos=new_pos, prev=new_prev, vel=new_vel,
                               inv_mass=new_inv, radius=new_rad)
     else:
-        def body(_, s):
-            s2, _none = _step_impl(s, cfg2, step_delta, relaxation, options,
-                                   with_stats=False, follow_rows=follow_rows)
-            return s2
+        def body(_, c):
+            s, ws = c
+            s2, _none, ws2 = _step_impl(s, cfg2, step_delta, relaxation,
+                                        options, with_stats=False,
+                                        follow_rows=follow_rows,
+                                        wide_state=ws)
+            return (s2, ws2)
 
-        state = jax.lax.fori_loop(0, jnp.maximum(n_steps - 1, 0), body, state)
-    return _step_impl(state, cfg2, step_delta, relaxation, options,
-                      with_stats=True, follow_rows=follow_rows)
+        state, wide_state = jax.lax.fori_loop(
+            0, jnp.maximum(n_steps - 1, 0), body, (state, tuple(wide_state)))
+        wide_state = list(wide_state)
+    state, stats, ws_fin = _step_impl(state, cfg2, step_delta, relaxation,
+                                      options, with_stats=True,
+                                      follow_rows=follow_rows,
+                                      wide_state=tuple(wide_state))
+    if thread_wide:
+        return state, stats, ws_fin
+    return state, stats

@@ -97,7 +97,7 @@ def main(n_devices: int) -> None:
 
     # ---- plane-resident multi-step (drift-adaptive, one dispatch) ----
     sp_multi = S.spatial_multi_step(sp_mesh, lay, sp_opts)
-    sp_state2, sp_stats2, info2 = sp_multi(sp_state, h2._device_cfg2(), dt,
+    sp_state2, sp_stats2, info2, _ws = sp_multi(sp_state, h2._device_cfg2(), dt,
                                            relax, jnp.int32(3))
     jax.block_until_ready(sp_state2.pos)
     assert np.isfinite(np.asarray(sp_state2.pos)).all()

@@ -420,12 +420,17 @@ def _plane_run_local(planes, aux, env, sub_dt, relaxation,
         rel2 = (dxp - mx * occ) ** 2 + (dyp - my * occ) ** 2
         return _psum_sum(rel2 > thresh2)
 
+    rearm = jnp.int32(options.wide_rearm_substeps)
+    full_budget = jnp.int32(options.wide_budget_substeps)
     # velocity-predicted movement gates the very first substep (see
     # ops/solver._adaptive_substep_run)
     pred = rel_over(real(aux[A.AUX_VX]) * occ * sub_dt,
                     real(aux[A.AUX_VY]) * occ * sub_dt)
-    pred_wide = pred > options.wide_tolerance * n_live
-    wide = pred_wide if wide is None else (wide | pred_wide)
+    pred_trip = pred > options.wide_tolerance * n_live
+    if wide is None:
+        wide = solver_ops.wide_state_init(options)
+    trip, budget, calm = wide
+    trip = trip | pred_trip
 
     for _ in range(options.n_substeps):
         # full-substep movement reference (integration + corrections), like
@@ -462,17 +467,21 @@ def _plane_run_local(planes, aux, env, sub_dt, relaxation,
                                          collision_pass, pl)
             return f
 
-        planes = jax.lax.cond(wide, passes(True), passes(False), planes)
+        wide_now = trip & (budget > 0)
+        planes = jax.lax.cond(wide_now, passes(True), passes(False), planes)
+        budget = jnp.where(wide_now, budget - 1, budget)
         # movement DURING this substep decides the next substep's window
         n_over = rel_over(
             (real(planes[dense_ops.FIELD_X]) - move_ref[0]) * occ,
             (real(planes[dense_ops.FIELD_Y]) - move_ref[1]) * occ)
-        wide = n_over > options.wide_tolerance * n_live
+        trip = n_over > options.wide_tolerance * n_live
+        calm = jnp.where(trip, 0, calm + 1)
+        budget = jnp.where(calm >= rearm, full_budget, budget)
         aux = (aux.at[A.AUX_VX]
                   .set((planes[dense_ops.FIELD_X] - aux[A.AUX_PX]) / sub_dt)
                   .at[A.AUX_VY]
                   .set((planes[dense_ops.FIELD_Y] - aux[A.AUX_PY]) / sub_dt))
-    return planes, aux, wide
+    return planes, aux, (trip, budget, calm)
 
 
 def _extract_local(planes, aux, slot):
@@ -706,7 +715,7 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
         return jax.lax.psum(jax.lax.psum(x, BANDS), BLOCKS)
 
     def _shard_body(state: ParticleState, cfg2: DeviceConfig,
-                    step_delta, relaxation, n_steps):
+                    step_delta, relaxation, n_steps, wide_state):
         sub_dt = jnp.maximum(step_delta / n_sub, EPS)
         band = jax.lax.axis_index(BANDS)
         block = jax.lax.axis_index(BLOCKS)
@@ -829,9 +838,9 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
         # per-particle bin-time positions for the drift metric; violence
         # (wide-sweep) state carries across steps like the single-chip
         # resident loop
-        for c in carries:
+        for i, c in enumerate(carries):
             c["ref_pos"] = c["pos"]
-            c["wide"] = jnp.bool_(False)
+            c["wide"] = wide_state[i]
 
         def body(_, cs):
             return tuple(pop_body(i, c) for i, c in enumerate(cs))
@@ -921,7 +930,8 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
                        last_centroid=last_cent, max_radius=mrad,
                        max_velocity=max_vel, batch_pos_sum=bsum,
                        batch_count=bcount)
-        return new_state, st, jnp.stack(info)
+        ws_out = tuple(c["wide"] for c in carries)
+        return new_state, st, jnp.stack(info), ws_out
 
     pvec = P(None, (BANDS, BLOCKS))
     pmat = P(None, (BANDS, BLOCKS), None)
@@ -938,9 +948,20 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
     from ._compat import shard_map_compat
     fn = shard_map_compat(
         _shard_body, mesh=mesh,
-        in_specs=(state_specs, cfg_specs, P(), P(), P()),
-        out_specs=(state_specs, stats_specs, P()))
-    return jax.jit(fn)
+        in_specs=(state_specs, cfg_specs, P(), P(), P(), P()),
+        out_specs=(state_specs, stats_specs, P(), P()))
+    jitted = jax.jit(fn)
+
+    def call(state, cfg2, step_delta, relaxation, n_steps, wide_state=None):
+        """``wide_state=None`` starts a fresh violence episode; pass the
+        previous call's 4th output to persist the wide-sweep budget."""
+        if wide_state is None:
+            wide_state = (solver_ops.wide_state_init(options),
+                          solver_ops.wide_state_init(options))
+        return jitted(state, cfg2, step_delta, relaxation, n_steps,
+                      wide_state)
+
+    return call
 
 
 # ----------------------------------------------------------- redistribute --

@@ -158,6 +158,7 @@ class SpatialHandler:
         self._inner._stats = _compute_stats(self._inner._state)
         self._inner._frames = None
         self._sp_state = None
+        self._sp_wide = None  # population changed: fresh violence episode
 
     # --------------------------------------------------------- lifecycle --
 
@@ -270,8 +271,9 @@ class SpatialHandler:
                 self._sp_state, cfg2, dt, relax)
             self._after_step(info)
         elif n > 1:
-            self._sp_state, self._sp_stats, info = multi(
-                self._sp_state, cfg2, dt, relax, jnp.int32(n))
+            self._sp_state, self._sp_stats, info, self._sp_wide = multi(
+                self._sp_state, cfg2, dt, relax, jnp.int32(n),
+                wide_state=getattr(self, "_sp_wide", None))
             self._after_step(info)
         self._interpolation_alpha = min(max(self._elapsed / step_delta, 0.0),
                                         1.0)
@@ -292,9 +294,10 @@ class SpatialHandler:
         self._ensure_spatial()
         _, multi = self._fns()
         dt, relax = self._inner._step_scalars(step_delta)
-        self._sp_state, self._sp_stats, info = multi(
+        self._sp_state, self._sp_stats, info, self._sp_wide = multi(
             self._sp_state, self._inner._device_cfg2(), dt, relax,
-            jnp.int32(int(n_steps)))
+            jnp.int32(int(n_steps)),
+            wide_state=getattr(self, "_sp_wide", None))
         self._after_step(info)
 
     # ------------------------------------------------------------ render --

@@ -57,7 +57,9 @@ def chain_ms(make_step, init, chain=CHAIN, n_trials=3):
 
 def main():
     h = build_handler(N)
-    h.run_steps(2)
+    # settle past the spawn transient (the wide-sweep episode budget) so
+    # pieces are measured in the steady state the bench headline uses
+    h.run_steps(int(os.environ.get("PROF_SETTLE", "160")))
     opts2 = render_ops.frame_options(h)
     for i, o in enumerate(opts2):
         nb = render_ops._tile_bins(o)
@@ -137,7 +139,6 @@ def main():
     res["frame_ms"] = round(chain_ms(frame, jnp.float32(0.0)), 3)
 
     # --- step pieces (white pop, dense engine internals) ---
-    import jax.numpy as jnp
     from egg_fluid_simulation_tpu.ops import dense as dense_ops
     from egg_fluid_simulation_tpu.ops.pallas import place_kernel, sweep_kernel
 
@@ -145,7 +146,9 @@ def main():
     cap = min(caps[0], state.capacity)
     cfg = jax.tree.map(lambda a: a[i], cfg2)
     act0 = active[i, :cap]
-    cc, coc = solver_ops._compliance_scalars(cfg, dt, options)
+    sub_dt = jnp.maximum(dt / options.n_substeps, 1e-6)
+    cc = solver_ops.strength_to_compliance(cfg.collision_strength, sub_dt)
+    coc = solver_ops.strength_to_compliance(cfg.cohesion_strength, sub_dt)
     cell_size, params = solver_ops._dense_params(cfg, act0, cc, coc, options)
     g = options.dense_grid_dim[i]
     k = options.dense_slots[i]
@@ -182,7 +185,8 @@ def main():
             corr = sweep_kernel.sweep_planes(
                 pl, params, k, cohesion=False, ordered_budget=False,
                 window=_w, fresh_mask=_f)
-            return pl.at[dense_ops.FIELD_X].add(corr[0] * 1e-6)
+            rp = dense_ops.ROW_PAD
+            return pl.at[dense_ops.FIELD_X, rp:rp + g].add(corr[0] * 1e-6)
 
         res[label] = round(chain_ms(sweep_piece, b.planes), 3)
 

@@ -175,3 +175,51 @@ def test_take_batch_rows_exact():
     want = np.asarray(table)[np.asarray(idx)]
     # hi/lo bf16 split reconstructs f32 rows to ~1e-7 relative
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-2)
+
+
+@pytest.mark.slow
+def test_wide_episode_budget_and_rearm():
+    """The violence gate is per EPISODE: a persistently violent scene runs
+    the wide sweep only for ``wide_budget_substeps``, then reverts to the
+    narrow fast path; calm substeps re-arm the budget. The episode state
+    must PERSIST across handler calls (a per-call reset would restart the
+    budget every run_steps)."""
+    import egg_fluid_simulation_tpu as E
+
+    opts = E.SolverOptions(engine="dense", budget_mode="off",
+                           dense_rebin="step", dense_grid_dim=32,
+                           dense_slots=8, use_pallas=False,
+                           adaptive_rebin=False,
+                           wide_budget_substeps=6, wide_rearm_substeps=4)
+    h = E.SimulationHandler(E.default_white_config(),
+                            E.default_yolk_config(),
+                            capacity=512, max_batches=8, options=opts)
+    # dense spawn = violent settle explosion: the gate trips immediately
+    h.add(100.0, 100.0, 18.0, 6.0, None, None, 120, 8)
+    h.step_once()          # 2 substeps; spawn violence trips the pred gate
+    trip0, budget0, _ = h._wide_state[0]
+    b_after_1 = int(budget0)
+    assert b_after_1 < 6, "violent spawn must consume wide budget"
+    h.step_once()
+    h.step_once()
+    _, budget1, _ = h._wide_state[0]
+    # persistent violence keeps draining the SAME episode's budget across
+    # calls until it floors at 0 (no mid-episode refill)
+    assert int(budget1) <= max(0, b_after_1 - 1)
+
+    # a calm scene must neither trip the gate nor touch the budget ...
+    import jax.numpy as jnp
+    h2 = E.SimulationHandler(E.default_white_config(),
+                             E.default_yolk_config(),
+                             capacity=512, max_batches=8, options=opts)
+    h2.add(100.0, 100.0, 60.0, 6.0, None, None, 30, 4)   # sparse: no overlap
+    h2.run_steps(5)
+    trip_c, budget_c, _ = h2._wide_state[0]
+    assert not bool(trip_c) and int(budget_c) == 6
+
+    # ... and sustained calm RE-ARMS a drained budget (episode over)
+    h2._wide_state = ((jnp.bool_(False), jnp.int32(0), jnp.int32(0)),
+                      h2._wide_state[1])
+    h2.run_steps(10)     # 20 calm substeps > wide_rearm_substeps
+    _, budget_r, _ = h2._wide_state[0]
+    assert int(budget_r) == 6, int(budget_r)

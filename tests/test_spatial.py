@@ -257,7 +257,7 @@ def test_spatial_multi_step_matches_stepwise(mesh22):
     relax = jnp.float32(1.0)
 
     multi = S.spatial_multi_step(mesh, lay, OPTIONS_FAST)
-    st_m, stats_m, info_m = multi(st0, cfg2, dt, relax, jnp.int32(5))
+    st_m, stats_m, info_m, _ws = multi(st0, cfg2, dt, relax, jnp.int32(5))
 
     st_s = st0
     for _ in range(5):
@@ -279,5 +279,5 @@ def test_spatial_multi_step_matches_stepwise(mesh22):
                                    np.asarray(stats_s.centroid[i]),
                                    rtol=1e-2, atol=1.0)
     # the same compile serves another step count (traced n_steps)
-    st_m2, _, _ = multi(st0, cfg2, dt, relax, jnp.int32(2))
+    st_m2, _, _, _ = multi(st0, cfg2, dt, relax, jnp.int32(2))
     assert np.isfinite(np.asarray(st_m2.pos)).all()
