@@ -159,6 +159,39 @@ def main():
     radius = state.radius[i, :cap]
     batch = state.batch_slot[i, :cap]
 
+    # bin_to_planes sub-pieces (what the ~15 ms rebin is made of)
+    n_p = pos.shape[0]
+    cxy = dense_ops.torus_cells(pos, cell_size, g)
+    cell_id0 = jnp.where(act0, cxy[:, 1] * g + cxy[:, 0], g * g)
+    idx0 = jnp.arange(n_p, dtype=jnp.int32)
+
+    def sort_piece(c):
+        cs, ps = jax.lax.sort_key_val(cell_id0 + c.astype(jnp.int32) * 0, idx0)
+        return jnp.float32(cs[0] + ps[-1])
+
+    res["bin_sort_ms"] = round(chain_ms(sort_piece, jnp.float32(0.0)), 3)
+
+    cid_s, pidx_s = jax.lax.sort_key_val(cell_id0, idx0)
+
+    def inv_piece(c):
+        _, slot = jax.lax.sort_key_val(pidx_s + c.astype(jnp.int32) * 0,
+                                       cid_s)
+        return jnp.float32(slot[0])
+
+    res["bin_inv_sort_ms"] = round(chain_ms(inv_piece, jnp.float32(0.0)), 3)
+
+    pack0 = jnp.stack([pos[:, 0], pos[:, 1], inv_mass, radius,
+                       batch.astype(jnp.float32), jnp.zeros_like(inv_mass),
+                       idx0.astype(jnp.float32),
+                       jnp.where(act0, 1.0, 0.0)] + [pos[:, 0]] * 7, axis=1)
+
+    def packgather_piece(c):
+        out = pack0[pidx_s + c.astype(jnp.int32) * 0]
+        return jnp.float32(jnp.sum(out[::4096]))
+
+    res["bin_packgather_ms"] = round(
+        chain_ms(packgather_piece, jnp.float32(0.0)), 3)
+
     def binning_piece(c):
         aux_cols = jnp.stack([pos[:, 0] + c * 0, pos[:, 1], vel[:, 0],
                               vel[:, 1], pos[:, 0], pos[:, 1],

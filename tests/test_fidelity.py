@@ -88,6 +88,7 @@ def test_free_particle_damped_drift_exact():
                                o.positions("white")[0], rtol=1e-4, atol=0.01)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("damping", [0.05, 0.1, 0.3])
 def test_batch_centroid_trajectory_envelope(damping):
     """One 30-particle egg snapping to a moved target: centroid paths agree."""

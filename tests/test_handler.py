@@ -241,6 +241,7 @@ def test_warmup_has_no_side_effects():
     assert h.interpolation_alpha == 0.0
 
 
+@pytest.mark.slow
 def test_update_kwarg_alternation_compiles_once_per_variant():
     """update(n_substeps=..., n_collision_steps=...) swaps static
     SolverOptions; repeated ALTERNATION must hit the jit cache, not retrace

@@ -10,6 +10,7 @@ zero integration coverage (VERDICT r2, missing #2).
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ def _handler():
     return h
 
 
+@pytest.mark.slow
 def test_draw_at_fractional_alpha_matches_host_composited_expectation():
     """Canvases at alpha=0.4 == canvases of the host-interpolated state at
     alpha=1 (``mix(last, pos, a)`` baked into positions and centroids).
@@ -79,6 +81,7 @@ def test_draw_at_fractional_alpha_matches_host_composited_expectation():
     assert np.abs(np.asarray(frame) - np.asarray(frame1)).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_multi_step_frames_last_pos_tracks_previous_step():
     """The resident frame loop must refresh last_pos every frame so
     alpha < 1 interpolates against the PREVIOUS step's positions, not the

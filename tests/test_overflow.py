@@ -9,6 +9,7 @@ canvas, /root/reference/simulation_handler.lua:2054-2064).
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def _clustered_handler():
     return h
 
 
+@pytest.mark.slow
 def test_clustered_scene_overflows_then_autobumps():
     h = _clustered_handler()
     h.step_once()

@@ -206,6 +206,7 @@ def test_lighting_pass_particle_color_mode():
     assert float(got_a[8, 8]) == pytest.approx(1.0)  # smoothstep saturated
 
 
+@pytest.mark.slow
 def test_draw_frame_cache_invalidation():
     from egg_fluid_simulation_tpu import SimulationHandler, default_white_config, default_yolk_config
     h = SimulationHandler(default_white_config(), default_yolk_config(),
@@ -225,6 +226,7 @@ def test_draw_frame_cache_invalidation():
     assert f5 is not f4  # recolor invalidates
 
 
+@pytest.mark.slow
 def test_downsampled_splat_matches_full_resolution():
     """A coarse-evaluated + bilinearly upsampled splat stays close to the
     full-resolution evaluation (the reference itself samples a finite-

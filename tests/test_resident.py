@@ -81,6 +81,7 @@ def test_resident_fastforward_settled_scene_subpixel():
         assert abs(sa - sb) / max(sb, 1e-6) < 0.05, (i, sa, sb)
 
 
+@pytest.mark.slow
 def test_resident_fastforward_stats_and_counts():
     h = _handler(adaptive=True)
     n0 = h.get_n_particles()

@@ -32,6 +32,7 @@ def _make_state(capacity=1024):
     return h
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_chip(mesh):
     h = _make_state()
     cfg2 = h._device_cfg2()
@@ -73,6 +74,7 @@ def test_sharded_stats_match(mesh):
                                np.asarray(single_stats.batch_count), atol=0.5)
 
 
+@pytest.mark.slow
 def test_sharded_step_runs_multiple_steps(mesh):
     h = _make_state()
     cfg2 = h._device_cfg2()

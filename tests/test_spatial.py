@@ -77,6 +77,7 @@ def mesh22():
     [pytest.param(4, 2, marks=pytest.mark.slow),
      (2, 2),
      pytest.param(4, 1, marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_spatial_step_matches_single_chip(db, dx, mesh22):
     if (db, dx) == (2, 2):
         h = _handler(options=OPTIONS_FAST, spread=True)
@@ -244,6 +245,7 @@ def test_collective_bytes_are_boundary_sized():
     assert cb["total_per_step"] < allgather_per_pass / 3
 
 
+@pytest.mark.slow
 def test_spatial_multi_step_matches_stepwise(mesh22):
     """Plane-resident multi-step (one dispatch, drift-adaptive rebin +
     migration inside a global cond) vs N x spatial_step. Same envelope style

@@ -25,6 +25,7 @@ def _spatial(db=2, dx=2, **kw):
                           options=OPTIONS, **kw)
 
 
+@pytest.mark.slow
 def test_full_product_flow_matches_single_chip():
     hs = _spatial()
     hi = SimulationHandler(default_white_config(), default_yolk_config(),
@@ -70,6 +71,7 @@ def test_full_product_flow_matches_single_chip():
     assert np.isfinite(np.asarray(hs.state.pos)).all()
 
 
+@pytest.mark.slow
 def test_migration_overflow_triggers_auto_redistribute():
     """A migrate_cap of 1 cannot carry a teleported clump across bands in
     one hop — drops must fire the automatic host redistribute and no

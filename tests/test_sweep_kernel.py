@@ -30,7 +30,8 @@ PARAMS = D.SweepParams(jnp.float32(10.0), jnp.float32(50.0), jnp.float32(2.0),
 
 @pytest.mark.parametrize(
     "cohesion,budget",
-    [(True, False), (False, True),
+    [(False, True),
+     pytest.param(True, False, marks=pytest.mark.slow),
      pytest.param(False, False, marks=pytest.mark.slow),
      pytest.param(True, True, marks=pytest.mark.slow)])
 def test_sweep_kernel_matches_jnp_model(binning, cohesion, budget):
@@ -111,6 +112,7 @@ def test_wide_sweep_matches_per_pass_rebuild_after_drift():
     np.testing.assert_allclose(got[keep], ref[keep], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cohesion", [False, True])
 def test_wide_sweep_kernel_matches_jnp_model(binning, cohesion):
     ref = D.sweep_planes_jnp(binning.planes, PARAMS8, 4, cohesion, False,
