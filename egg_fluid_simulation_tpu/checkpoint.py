@@ -45,6 +45,15 @@ def save(handler: SimulationHandler, path: str) -> None:
         "use_lighting": handler._use_lighting,
     }
     arrays["host_targets"] = handler._host_targets
+    ws = getattr(handler, "_wide_state", None)
+    if ws is not None:
+        # violence-episode state (trip, budget, calm) per population — so a
+        # resumed run doesn't restart the wide-sweep budget mid-episode.
+        # Engines without the wide machinery (gather, per-pass rebuild)
+        # leave a population's entry None; encode that as budget = -1.
+        arrays["wide_state"] = np.asarray(
+            [[0, -1, 0] if w is None else [int(w[0]), int(w[1]), int(w[2])]
+             for w in ws], np.int64)
     np.savez_compressed(path, meta=json.dumps(meta), **arrays)
 
 
@@ -74,6 +83,12 @@ def load(path: str, *, options=None) -> SimulationHandler:
     handler._elapsed = meta["elapsed"]
     handler._interpolation_alpha = meta["interpolation_alpha"]
     handler._host_targets = np.asarray(data["host_targets"])
+    if "wide_state" in data:
+        ws = data["wide_state"]
+        handler._wide_state = tuple(
+            None if int(r[1]) < 0 else
+            (jnp.bool_(bool(r[0])), jnp.int32(int(r[1])), jnp.int32(int(r[2])))
+            for r in ws)
     handler._refresh_auto_options()   # size solver options to restored counts
     from .handler import _compute_stats
     handler._stats = _compute_stats(handler._state)

@@ -87,6 +87,41 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(d.handler.state.pos), atol=1e-4)
 
 
+def test_checkpoint_preserves_wide_state(tmp_path):
+    # The violence-episode state (trip, budget, calm) must survive a
+    # checkpoint so a resumed run doesn't restart the wide-sweep budget
+    # mid-episode (ref: the reference has no analog — persistence invariant
+    # is ours: resume == never-stopped).
+    # capacity >= 16384 selects the dense engine, whose step threads real
+    # (trip, budget, calm) tuples; smaller handlers (gather engine) leave
+    # per-population entries None — both encodings must roundtrip.
+    d = demo_mod.DemoState(capacity=16384)
+    d.spawn_batch()
+    for _ in range(5):
+        d.update()
+    assert d.handler._wide_state is not None
+
+    def host(ws):
+        return [None if w is None else (bool(w[0]), int(w[1]), int(w[2]))
+                for w in ws]
+
+    want = host(d.handler._wide_state)
+    assert any(w is not None for w in want)  # dense engine threads tuples
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(d.handler, path)
+    restored = checkpoint.load(path)
+    assert host(restored._wide_state) == want
+
+    # gather-engine handler: None entries must survive as None
+    d2 = demo_mod.DemoState(capacity=4096)
+    d2.spawn_batch()
+    d2.update()
+    path2 = str(tmp_path / "ckpt2.npz")
+    checkpoint.save(d2.handler, path2)
+    restored2 = checkpoint.load(path2)
+    assert host(restored2._wide_state) == host(d2.handler._wide_state)
+
+
 def test_checkpoint_preserves_configs(tmp_path):
     d = demo_mod.DemoState(capacity=4096)
     d.spawn_batch()
