@@ -1045,6 +1045,11 @@ def _step_impl(state: ParticleState, cfg2: DeviceConfig, step_delta,
                     follow_rows=None if follow_rows is None else follow_rows[i],
                     wide_state=wide_state[i] if thread_wide else None))
         else:
+            # engines without wide-sweep machinery (gather, dense per-pass)
+            # pass the violence-episode state through untouched — callers
+            # thread it blindly (handler.run_steps), and a None here would
+            # break the multi_step fori carry's pytree structure
+            ws_out[i] = wide_state[i] if thread_wide else None
             prev = state.prev[i, :cap]
             inv_mass = state.inv_mass[i, :cap]
             radius = state.radius[i, :cap]

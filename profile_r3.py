@@ -230,6 +230,58 @@ def main():
 
     res["extract_ms"] = round(chain_ms(extract_piece, jnp.float32(0.0)), 3)
 
+    # --- the step's "rest": fallback substeps, drift metric, plane-run
+    #     elementwise (follow + aux bookkeeping), merge ---
+    damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
+    follow_c = solver_ops.strength_to_compliance(cfg.follow_strength, sub_dt)
+    follow_radius = jnp.sqrt(jnp.maximum(state.batch_radius[i], 0.0))
+    table = jnp.concatenate([state.batch_target,
+                             follow_radius[:, None]], axis=1)
+    rows3 = solver_ops.take_batch_rows(table, batch)
+    ftx, fty, ftd = rows3[:, 0], rows3[:, 1], 2.0 * rows3[:, 2]
+
+    def fb_piece(c):
+        p = pos + c * 0
+        v = vel * damp
+        pr = p
+        p = p + sub_dt * v
+        fdx, fdy = solver_ops._follow_delta(p[:, 0], p[:, 1], inv_mass, act0,
+                                            ftx, fty, ftd, follow_c)
+        p = p + jnp.stack([fdx, fdy], axis=1)
+        return jnp.sum(p[::4096]) * 1e-6
+
+    res["fb_substep_ms"] = round(chain_ms(fb_piece, jnp.float32(0.0)), 3)
+
+    def drift_piece(c):
+        n_over, n_occ, mxy = solver_ops._plane_drift_over(
+            b.planes + c * 0, b.planes[:2] * 0.99, g,
+            (0.25 * cell_size) ** 2)
+        return n_over.astype(jnp.float32) + jnp.sum(mxy)
+
+    res["drift_metric_ms"] = round(chain_ms(drift_piece, jnp.float32(0.0)), 3)
+
+    # one full narrow substep in plane layout (3 sweeps + follow + aux);
+    # subtract 3*sweep_ms for the elementwise share
+    def plane_run_piece(c):
+        pl, ax = solver_ops._plane_run(
+            c, b.aux, damp, follow_c, params, sub_dt,
+            jnp.float32(1.0), options, g, k, 1, cohesion=False, ordered=False)
+        return pl
+
+    res["plane_run1_ms"] = round(chain_ms(plane_run_piece, b.planes), 3)
+
+    def merge_piece(c):
+        p_pl, prev_pl, v_pl, in_grid = solver_ops._plane_extract(
+            b.planes + c * 0, b.aux, b.slot, g, g * k)
+        sel = (in_grid & act0)[:, None]
+        p = jnp.where(sel, p_pl, pos)
+        pr = jnp.where(sel, prev_pl, pos)
+        v = jnp.where(sel, v_pl, vel)
+        return (jnp.sum(p[::4096]) + jnp.sum(pr[::4096])
+                + jnp.sum(v[::4096])) * 1e-6
+
+    res["merge_ms"] = round(chain_ms(merge_piece, jnp.float32(0.0)), 3)
+
     # --- step ---
     def step(s):
         s2, _ = solver_ops._step_impl(s, cfg2, dt, relax, options,

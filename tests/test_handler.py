@@ -2,6 +2,7 @@
 
 import math
 
+import jax
 import numpy as np
 import pytest
 
@@ -263,3 +264,25 @@ def test_update_kwarg_alternation_compiles_once_per_variant():
         h.update(1 / 30)
         h.update(1 / 30, n_substeps=3)
     assert solver_ops.step._cache_size() == base
+
+
+def test_run_steps_gather_engine_threads_wide_state():
+    """run_steps on a NON-dense engine must not break the multi_step fori
+    carry: engines without wide-sweep machinery pass the violence-episode
+    state through untouched (a None output changed the carry pytree and
+    crashed any gather-engine run_steps(n >= 2))."""
+    from egg_fluid_simulation_tpu import SolverOptions as _SolverOptions
+
+    h = SimulationHandler(default_white_config(), default_yolk_config(),
+                          capacity=256, max_batches=4,
+                          options=_SolverOptions(engine="gather",
+                                                 table_size=1024,
+                                                 slots_per_cell=8))
+    h.add(10.0, 10.0, 15.0, 5.0, None, None, 20, 5)
+    ws0 = h._wide_or_init()
+    h.run_steps(3)
+    assert np.isfinite(np.asarray(h.state.pos)).all()
+    # pass-through: same structure, same budget (gather never spends it)
+    ws1 = h._wide_state
+    assert jax.tree.structure(ws1) == jax.tree.structure(ws0)
+    assert int(ws1[0][1]) == int(ws0[0][1])
