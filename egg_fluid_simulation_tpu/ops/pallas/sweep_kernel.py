@@ -183,6 +183,141 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
     return acc if count_only else (tx, ty)
 
 
+OUT_PAD = 8  # spill rows appended to each SYMMETRIC output block (8-row
+             # alignment for Mosaic; only the first `window` rows are used)
+
+
+def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
+                    cohesion: bool, ordered_budget: bool,
+                    window: int = 1, fresh_mask: bool = False):
+    """Symmetric sweep body: every unordered pair evaluated ONCE.
+
+    The asymmetric body (:func:`_pair_terms`) has each slot compute its own
+    half of each pair's correction — every pair's distance/violation math
+    runs twice. Here a half-space of offsets (dy > 0 all d; dy = 0 only
+    d > 0) is evaluated and BOTH sides accumulated: the self side in place,
+    the other side rolled back by (-d, -dy). Same math to float rounding
+    (summation order differs), ~half the pair terms.
+
+    Returns (2, rows + window, lanes): rows [0, rows) are the block's own
+    correction sums, rows [rows, rows + window) spill DOWNWARD into the next
+    block's first rows (dy >= 0 means contributions never flow up). The
+    caller folds spills across blocks (torus-wrapped).
+    """
+    lanes = block.shape[-1]
+    g = lanes // k
+
+    def rowsl(f, dy):
+        return block[f][r0 + dy:r0 + dy + rows]
+
+    sx, sy = rowsl(D.FIELD_X, 0), rowsl(D.FIELD_Y, 0)
+    sw, sr = rowsl(D.FIELD_W, 0), rowsl(D.FIELD_R, 0)
+    sb, scum = rowsl(D.FIELD_BATCH, 0), rowsl(D.FIELD_CUM, 0)
+    sidx, socc = rowsl(D.FIELD_IDX, 0), rowsl(D.FIELD_OCC, 0)
+
+    tx = jnp.zeros_like(sx)
+    ty = jnp.zeros_like(sy)
+    (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
+     cell_size) = params
+
+    FX, FY = "FX", "FY"
+    if fresh_mask:
+        fresh = {FX: jnp.mod(jnp.floor(block[D.FIELD_X] / cell_size), g),
+                 FY: jnp.mod(jnp.floor(block[D.FIELD_Y] / cell_size), g)}
+        sfx = fresh[FX][r0:r0 + rows]
+        sfy = fresh[FY][r0:r0 + rows]
+
+        def torus_adj(a, b):
+            dd = jnp.mod(a - b + g // 2, g) - g // 2
+            return jnp.abs(dd) <= 1.0
+
+    need = [D.FIELD_X, D.FIELD_Y, D.FIELD_W, D.FIELD_R, D.FIELD_OCC]
+    if ordered_budget:
+        need += [D.FIELD_IDX, D.FIELD_CUM]
+    if cohesion:
+        need.append(D.FIELD_BATCH)
+
+    def plane_of(f):
+        return fresh[f] if f in (FX, FY) else block[f]
+
+    if fresh_mask:
+        need = need + [FX, FY]
+
+    w = window
+    # other-side accumulators over block-local target rows [0, rows + w)
+    oxa = jnp.zeros((rows + w, lanes), sx.dtype)
+    oya = jnp.zeros((rows + w, lanes), sy.dtype)
+    for d in range(-((w + 1) * k - 1), (w + 1) * k):
+        mask = _lane_mask_2d(rows, lanes, k, d, w)
+        # dy >= 0 only: rolled window needs rows [r0, r0 + rows + w)
+        rolled = {f: _roll(plane_of(f)[r0:r0 + rows + w], d) for f in need}
+        odx = jnp.zeros((rows + w, lanes), sx.dtype)
+        ody = jnp.zeros((rows + w, lanes), sy.dtype)
+        for dy in range(0, w + 1):
+            if dy == 0 and d <= 0:
+                continue  # dy=0 pairs taken once, from the d > 0 side
+            o_block = {f: rolled[f][dy:dy + rows] for f in need}
+            oocc = o_block[D.FIELD_OCC]
+            valid = (socc > 0.0) & (oocc > 0.0) & mask
+            if fresh_mask:
+                valid = (valid & torus_adj(sfx, o_block[FX])
+                         & torus_adj(sfy, o_block[FY]))
+
+            ox, oy = o_block[D.FIELD_X], o_block[D.FIELD_Y]
+            ow, orr = o_block[D.FIELD_W], o_block[D.FIELD_R]
+
+            if ordered_budget:
+                # cum of the LOWER-idx side — symmetric in the pair
+                oidx = o_block[D.FIELD_IDX]
+                ocum = o_block[D.FIELD_CUM]
+                cum_min = jnp.where(oidx < sidx, ocum, scum)
+                valid = valid & (cum_min < max_pairs)
+
+            ddx = ox - sx
+            ddy = oy - sy
+            dist2 = ddx * ddx + ddy * ddy
+            inv_dist = jnp.where(dist2 > EPS * EPS,
+                                 jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
+                                 0.0)
+            dist = dist2 * inv_dist
+
+            w_sum = sw + ow
+            ok = valid & (w_sum >= EPS)
+
+            scale_s = jnp.zeros_like(dist)
+            scale_o = jnp.zeros_like(dist)
+            if cohesion:
+                ob = o_block[D.FIELD_BATCH]
+                coh_d = cohesion_f * (sr + orr)
+                viol = dist - coh_d
+                corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
+                hit = ok & (sb == ob) & (dist2 <= coh_d * coh_d)
+                scale_s = scale_s + jnp.where(hit, corr * sw, 0.0)
+                scale_o = scale_o + jnp.where(hit, corr * ow, 0.0)
+
+            min_d = overlap_f * (sr + orr)
+            viol = dist - min_d
+            corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
+            hit = ok & (dist2 <= min_d * min_d)
+            scale_s = scale_s + jnp.where(hit, corr * sw, 0.0)
+            scale_o = scale_o + jnp.where(hit, corr * ow, 0.0)
+
+            ux = ddx * inv_dist
+            uy = ddy * inv_dist
+            tx = tx - ux * scale_s
+            ty = ty - uy * scale_s
+            # other side: opposite direction, own inverse-mass share; lands
+            # at (row + dy, lane - d) — row shift now, lane roll once per d
+            odx = odx.at[dy:dy + rows].add(ux * scale_o)
+            ody = ody.at[dy:dy + rows].add(uy * scale_o)
+        oxa = oxa + _roll(odx, -d)
+        oya = oya + _roll(ody, -d)
+
+    out_x = jnp.concatenate([tx + oxa[:rows], oxa[rows:]], axis=0)
+    out_y = jnp.concatenate([ty + oya[:rows], oya[rows:]], axis=0)
+    return out_x, out_y
+
+
 def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
                  block_rows: int, window: int = 1, fresh_mask: bool = False):
     def kernel(params_ref, planes_hbm, out_ref, scratch, sem):
@@ -241,6 +376,79 @@ def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
     )(params_packed, planes)
 
 
+def _make_kernel_sym(k: int, cohesion: bool, ordered_budget: bool,
+                     block_rows: int, window: int = 1,
+                     fresh_mask: bool = False):
+    def kernel(params_ref, planes_hbm, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            planes_hbm.at[:, pl.ds(i * block_rows, block_rows + 2 * D.ROW_PAD), :],
+            scratch, sem)
+        dma.start()
+        dma.wait()
+        block = scratch[:]
+        params = tuple(params_ref[j] for j in range(6))
+        out_x, out_y = _pair_terms_sym(block, D.ROW_PAD, block_rows, k, params,
+                                       cohesion, ordered_budget,
+                                       window=window, fresh_mask=fresh_mask)
+        pad = OUT_PAD - window
+        if pad:
+            z = jnp.zeros((pad, out_x.shape[-1]), out_x.dtype)
+            out_x = jnp.concatenate([out_x, z], axis=0)
+            out_y = jnp.concatenate([out_y, z], axis=0)
+        out_ref[0] = out_x
+        out_ref[1] = out_y
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "cohesion", "ordered_budget",
+                                    "window", "fresh_mask", "interpret"))
+def _sweep_pallas_sym(planes, params_packed, k: int, cohesion: bool,
+                      ordered_budget: bool, window: int = 1,
+                      fresh_mask: bool = False, interpret: bool = False):
+    """Symmetric sweep: blocks emit (b + OUT_PAD)-row tiles whose tail rows
+    spill into the NEXT block's head; the fold below adds them back
+    (torus-wrapped across the grid edge)."""
+    f, g2, lanes = planes.shape
+    g = g2 - 2 * D.ROW_PAD
+    b = min(_BLOCK_ROWS, g)
+    assert g % b == 0, "dense_grid_dim must be a multiple of the sweep block"
+    assert b >= OUT_PAD >= window
+
+    kernel = _make_kernel_sym(k, cohesion, ordered_budget, b,
+                              window=window, fresh_mask=fresh_mask)
+    nb = g // b
+    raw = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((2, b + OUT_PAD, lanes), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, nb * (b + OUT_PAD), lanes),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((f, b + 2 * D.ROW_PAD, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(params_packed, planes)
+
+    blocks = raw.reshape(2, nb, b + OUT_PAD, lanes)
+    core = blocks[:, :, :b]
+    # block i's spill rows are real rows [i*b + b, i*b + b + window) — the
+    # head of block i+1 (block nb-1 wraps to block 0: torus in y)
+    spill = jnp.roll(blocks[:, :, b:], 1, axis=1)
+    core = core.at[:, :, :OUT_PAD].add(spill)
+    return core.reshape(2, g, lanes)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _count_pallas(planes, k: int, interpret: bool = False):
     f, g2, lanes = planes.shape
@@ -276,12 +484,20 @@ def _on_tpu() -> bool:
 
 def sweep_planes(planes, params: "D.SweepParams", k: int, *, cohesion: bool,
                  ordered_budget: bool, use_pallas: bool = True,
-                 window: int = 1, fresh_mask: bool = False):
+                 window: int = 1, fresh_mask: bool = False,
+                 symmetric: bool = False):
     """(2, G, L) pair-correction sums; Pallas on TPU, jnp elsewhere.
 
     ``window=3, fresh_mask=True`` selects the violent-phase wide sweep (the
-    per-pass-rebuild-equivalent pair set; see dense.sweep_planes_jnp)."""
+    per-pass-rebuild-equivalent pair set; see dense.sweep_planes_jnp).
+    ``symmetric=True`` evaluates each unordered pair once and scatters both
+    sides (same math to float rounding, ~half the pair terms; Pallas path
+    only — the jnp fallback keeps the simple one-sided golden form)."""
     if use_pallas and _on_tpu():
+        if symmetric:
+            return _sweep_pallas_sym(planes, params.pack(), k, cohesion,
+                                     ordered_budget, window=window,
+                                     fresh_mask=fresh_mask)
         return _sweep_pallas(planes, params.pack(), k, cohesion,
                              ordered_budget, window=window,
                              fresh_mask=fresh_mask)

@@ -157,6 +157,11 @@ class SolverOptions:
                                     # substep defaults.
     wide_rearm_substeps: int = 12   # consecutive calm substeps that end an
                                     # episode and refill the budget
+    sweep_symmetric: bool = False   # Pallas sweep: evaluate each unordered
+                                    # pair once and scatter both sides (same
+                                    # math to float rounding, ~half the pair
+                                    # terms + per-block spill fold; see
+                                    # sweep_kernel._pair_terms_sym)
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
@@ -491,7 +496,8 @@ def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active,
         binning.planes, params, k,
         cohesion=options.cohesion_mode == "spacing",
         ordered_budget=options.budget_mode == "ordered",
-        use_pallas=options.use_pallas)                     # (2, G, L)
+        use_pallas=options.use_pallas,
+        symmetric=options.sweep_symmetric)                 # (2, G, L)
     corr_flat = corr.reshape(2, -1)
     safe_slot = jnp.minimum(binning.slot, lanes * g - 1)
     dx = jnp.where(binning.slot < lanes * g, corr_flat[0][safe_slot], 0.0)
@@ -562,7 +568,8 @@ def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
                                          ordered_budget=ordered,
                                          use_pallas=options.use_pallas,
                                          window=3 if wide else 1,
-                                         fresh_mask=wide)
+                                         fresh_mask=wide,
+                                         symmetric=options.sweep_symmetric)
         pl = pl.at[dense_ops.FIELD_X, rp:rp + g].add(relaxation * corr[0])
         pl = pl.at[dense_ops.FIELD_Y, rp:rp + g].add(relaxation * corr[1])
         return dense_ops.refresh_halo_xy(pl)

@@ -278,6 +278,11 @@ def _sweep_local(planes, params, lay: SpatialLayout, cohesion: bool,
     local window's own modulus because interacting pairs differ by <= 1
     global cell."""
     from ..ops.pallas import sweep_kernel
+    # NOTE: always the one-sided kernel here. The symmetric variant
+    # (SolverOptions.sweep_symmetric) folds spill rows with a TORUS wrap;
+    # local spatial planes are not tori — their halo rows belong to
+    # NEIGHBOR devices, and each device must recompute its own half of
+    # seam pairs (the halo side's corrections are discarded, not summed).
     return sweep_kernel.sweep_planes(planes, params, lay.slots_per_cell,
                                      cohesion=cohesion, ordered_budget=False,
                                      use_pallas=use_pallas,

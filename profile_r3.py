@@ -212,12 +212,14 @@ def main():
                                 aux_cols=aux_cols,
                                 use_placement=place_kernel.on_tpu())
 
-    for label, window, fresh in (("sweep_ms", 1, False),
-                                 ("sweep_wide_ms", 3, True)):
-        def sweep_piece(pl, _w=window, _f=fresh):
+    for label, window, fresh, sym in (("sweep_ms", 1, False, False),
+                                      ("sweep_wide_ms", 3, True, False),
+                                      ("sweep_sym_ms", 1, False, True),
+                                      ("sweep_wide_sym_ms", 3, True, True)):
+        def sweep_piece(pl, _w=window, _f=fresh, _s=sym):
             corr = sweep_kernel.sweep_planes(
                 pl, params, k, cohesion=False, ordered_budget=False,
-                window=_w, fresh_mask=_f)
+                window=_w, fresh_mask=_f, symmetric=_s)
             rp = dense_ops.ROW_PAD
             return pl.at[dense_ops.FIELD_X, rp:rp + g].add(corr[0] * 1e-6)
 

@@ -123,6 +123,35 @@ def test_wide_sweep_kernel_matches_jnp_model(binning, cohesion):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "cohesion,budget",
+    [(True, False),
+     pytest.param(False, False, marks=pytest.mark.slow),
+     pytest.param(False, True, marks=pytest.mark.slow),
+     pytest.param(True, True, marks=pytest.mark.slow)])
+def test_symmetric_sweep_kernel_matches_jnp_model(binning, cohesion, budget):
+    """The symmetric kernel (each unordered pair evaluated once, both sides
+    scattered, spill rows folded across blocks) must match the one-sided
+    golden model to float-summation-order tolerance."""
+    ref = D.sweep_planes_jnp(binning.planes, PARAMS, 4, cohesion, budget)
+    got = K._sweep_pallas_sym(binning.planes, PARAMS.pack(), 4, cohesion,
+                              budget, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cohesion", [False, True])
+def test_symmetric_wide_sweep_kernel_matches_jnp_model(binning, cohesion):
+    ref = D.sweep_planes_jnp(binning.planes, PARAMS8, 4, cohesion, False,
+                             window=3, fresh_mask=True)
+    got = K._sweep_pallas_sym(binning.planes, PARAMS8.pack(), 4, cohesion,
+                              False, window=3, fresh_mask=True,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_count_kernel_matches_jnp_model(binning):
     ref = D.count_planes_jnp(binning.planes, 4)
     got = K._count_pallas(binning.planes, 4, interpret=True)
