@@ -43,6 +43,10 @@ def save(handler: SimulationHandler, path: str) -> None:
         "jacobi_relaxation": handler._jacobi_relaxation,
         "use_particle_color": handler._use_particle_color,
         "use_lighting": handler._use_lighting,
+        # overflow-recovery render-budget multipliers: without them a
+        # resumed clustered scene silently drops splats until the next
+        # draw(check_overflow=True) re-bumps
+        "render_k_boost": list(handler._render_k_boost),
     }
     arrays["host_targets"] = handler._host_targets
     ws = getattr(handler, "_wide_state", None)
@@ -71,6 +75,8 @@ def load(path: str, *, options=None) -> SimulationHandler:
         jacobi_relaxation=meta["jacobi_relaxation"], options=options)
     handler._use_particle_color = meta["use_particle_color"]
     handler._use_lighting = meta["use_lighting"]
+    if "render_k_boost" in meta:   # absent in pre-r3 checkpoints
+        handler._render_k_boost = [float(b) for b in meta["render_k_boost"]]
 
     kwargs = {f.name: jnp.asarray(data[f"state_{f.name}"])
               for f in fields(ParticleState)}

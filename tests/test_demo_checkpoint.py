@@ -131,3 +131,17 @@ def test_checkpoint_preserves_configs(tmp_path):
     restored = checkpoint.load(path)
     assert restored.get_white_config()["damping"] == pytest.approx(0.05)
     assert restored.get_white_config()["follow_strength"] == pytest.approx(0.8)
+
+
+def test_checkpoint_preserves_render_k_boost(tmp_path):
+    """The overflow-recovery render-budget multiplier must survive resume:
+    a clustered scene that needed a boosted per-bin budget would silently
+    drop splats after load until the next check_overflow draw."""
+    d = demo_mod.DemoState(capacity=4096)
+    d.spawn_batch()
+    d.update()
+    d.handler._render_k_boost = [2.0, 1.5]   # as if auto-bump had fired
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(d.handler, path)
+    restored = checkpoint.load(path)
+    assert restored._render_k_boost == [2.0, 1.5]
