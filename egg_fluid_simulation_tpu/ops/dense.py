@@ -93,6 +93,14 @@ class SweepParams(NamedTuple):
     max_pairs: jnp.ndarray     # ordered-budget cutoff; +inf when budget off
     cell_size: jnp.ndarray = jnp.float32(1.0)  # for the wide sweep's
                                # FRESH-cell pair mask (see sweep_planes_jnp)
+    fresh_mod: jnp.ndarray = jnp.float32(0.0)  # torus modulus of the fresh
+                               # cells; 0 = the plane's own lanes//k (the
+                               # single-chip torus). The SPATIAL path must
+                               # pass the GLOBAL grid_dim: its local planes
+                               # are windows, so the global wrap (cell G-1
+                               # adjacent to 0) is not a multiple of the
+                               # local width and a local modulus would
+                               # reject wrap-adjacent pairs.
 
     def pack(self) -> jnp.ndarray:
         vals = [jnp.asarray(v, jnp.float32) for v in self]
@@ -292,18 +300,21 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
     tx = jnp.zeros_like(sx)
     ty = jnp.zeros_like(sy)
     (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
-     cell_size) = params
+     cell_size, fresh_mod) = params
+    fm = jnp.where(fresh_mod > 0, fresh_mod, jnp.float32(g))
     if fresh_mask:
         # fresh torus cells from CURRENT positions (planes are updated in
-        # place every pass; only slot membership goes stale)
-        fx_all = jnp.mod(jnp.floor(planes[FIELD_X] / cell_size), g)
-        fy_all = jnp.mod(jnp.floor(planes[FIELD_Y] / cell_size), g)
+        # place every pass; only slot membership goes stale); the modulus is
+        # the GLOBAL torus (fresh_mod), not the plane width — they differ on
+        # spatial local windows
+        fx_all = jnp.mod(jnp.floor(planes[FIELD_X] / cell_size), fm)
+        fy_all = jnp.mod(jnp.floor(planes[FIELD_Y] / cell_size), fm)
         fresh = jnp.stack([fx_all, fy_all])                  # (2, rows, L)
         sfx = _row_slice(fresh, 0)[0]
         sfy = _row_slice(fresh, 0)[1]
 
     def torus_adjacent(a, b):
-        dd = jnp.mod(a - b + g // 2, g) - g // 2
+        dd = jnp.mod(a - b + 0.5 * fm, fm) - 0.5 * fm
         return jnp.abs(dd) <= 1
 
     def pair_terms(tx, ty, o, mask):

@@ -85,17 +85,21 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
         tx = jnp.zeros_like(sx)
         ty = jnp.zeros_like(sy)
         (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
-         cell_size) = params
+         cell_size, fresh_mod) = params
 
     FX, FY = "FX", "FY"  # derived fresh-cell pseudo-fields
     if fresh_mask:
-        fresh = {FX: jnp.mod(jnp.floor(block[D.FIELD_X] / cell_size), g),
-                 FY: jnp.mod(jnp.floor(block[D.FIELD_Y] / cell_size), g)}
+        # modulus: the GLOBAL torus (params.fresh_mod; 0 = this plane's own
+        # g). On spatial local windows the global wrap is not a multiple of
+        # the local width — a local modulus would reject wrap-adjacent pairs.
+        fm = jnp.where(fresh_mod > 0, fresh_mod, jnp.float32(g))
+        fresh = {FX: jnp.mod(jnp.floor(block[D.FIELD_X] / cell_size), fm),
+                 FY: jnp.mod(jnp.floor(block[D.FIELD_Y] / cell_size), fm)}
         sfx = fresh[FX][r0:r0 + rows]
         sfy = fresh[FY][r0:r0 + rows]
 
         def torus_adj(a, b):
-            dd = jnp.mod(a - b + g // 2, g) - g // 2
+            dd = jnp.mod(a - b + 0.5 * fm, fm) - 0.5 * fm
             return jnp.abs(dd) <= 1.0
 
     # Only the fields this pass reads get rolled — lane shifts are pure VMEM
@@ -218,17 +222,18 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
     tx = jnp.zeros_like(sx)
     ty = jnp.zeros_like(sy)
     (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
-     cell_size) = params
+     cell_size, fresh_mod) = params
 
     FX, FY = "FX", "FY"
     if fresh_mask:
-        fresh = {FX: jnp.mod(jnp.floor(block[D.FIELD_X] / cell_size), g),
-                 FY: jnp.mod(jnp.floor(block[D.FIELD_Y] / cell_size), g)}
+        fm = jnp.where(fresh_mod > 0, fresh_mod, jnp.float32(g))
+        fresh = {FX: jnp.mod(jnp.floor(block[D.FIELD_X] / cell_size), fm),
+                 FY: jnp.mod(jnp.floor(block[D.FIELD_Y] / cell_size), fm)}
         sfx = fresh[FX][r0:r0 + rows]
         sfy = fresh[FY][r0:r0 + rows]
 
         def torus_adj(a, b):
-            dd = jnp.mod(a - b + g // 2, g) - g // 2
+            dd = jnp.mod(a - b + 0.5 * fm, fm) - 0.5 * fm
             return jnp.abs(dd) <= 1.0
 
     need = [D.FIELD_X, D.FIELD_Y, D.FIELD_W, D.FIELD_R, D.FIELD_OCC]
@@ -330,7 +335,7 @@ def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
         dma.start()
         dma.wait()
         block = scratch[:]
-        params = tuple(params_ref[j] for j in range(6))
+        params = tuple(params_ref[j] for j in range(7))
         out = _pair_terms(block, D.ROW_PAD, block_rows, k, params,
                           cohesion, ordered_budget, count_only,
                           window=window, fresh_mask=fresh_mask)
@@ -387,7 +392,7 @@ def _make_kernel_sym(k: int, cohesion: bool, ordered_budget: bool,
         dma.start()
         dma.wait()
         block = scratch[:]
-        params = tuple(params_ref[j] for j in range(6))
+        params = tuple(params_ref[j] for j in range(7))
         out_x, out_y = _pair_terms_sym(block, D.ROW_PAD, block_rows, k, params,
                                        cohesion, ordered_budget,
                                        window=window, fresh_mask=fresh_mask)

@@ -366,7 +366,7 @@ def _migrate_axis(fields, active, want_dir, axis_name: str, size: int,
 # --------------------------------------------------- shared step pieces --
 
 def _pop_env(cfg, mass_t, active, batch_slot, batch_target, follow_radius,
-             sub_dt, options: SolverOptions):
+             sub_dt, options: SolverOptions, lay: SpatialLayout):
     """Per-population step environment (the reference's env, :1726-1786)."""
     damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
     mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
@@ -380,6 +380,11 @@ def _pop_env(cfg, mass_t, active, batch_slot, batch_target, follow_radius,
                                                    sub_dt)
     cell_size, params = solver_ops._dense_params(
         cfg, active, collision_c, cohesion_c, options)
+    # wide-sweep fresh cells must wrap on the GLOBAL torus: local planes are
+    # windows whose width is not a multiple of grid_dim, so the default
+    # lanes//k modulus would reject globally-wrap-adjacent pairs (cells
+    # G-1 and 0) — found by the G=64 at-scale equivalence test
+    params = params._replace(fresh_mod=jnp.float32(lay.grid_dim))
     table = jnp.concatenate([batch_target, follow_radius[:, None]], axis=1)
     rows3 = table[jnp.maximum(batch_slot, 0)]                # small gather
     return dict(damp=damp, inv_mass=inv_mass, radius=radius,
@@ -541,7 +546,7 @@ def spatial_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
                   batch_slot, color, active, cfg, batch_target, follow_radius,
                   band, block, sub_dt, relaxation):
         env = _pop_env(cfg, mass_t, active, batch_slot, batch_target,
-                       follow_radius, sub_dt, options)
+                       follow_radius, sub_dt, options, lay)
         aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
                               env["tx"], env["ty"], env["td"]], axis=1)
         planes, aux, slot, in_grid = _bin_local(
@@ -729,7 +734,7 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
         def bin_pop(i, pos, vel, mass_t, batch_slot, active, cfg):
             env = _pop_env(cfg, mass_t, active, batch_slot,
                            state.batch_target, follow_radius[i], sub_dt,
-                           options)
+                           options, lay)
             aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
                                   env["tx"], env["ty"], env["td"]], axis=1)
             planes, aux, slot, _ = _bin_local(
@@ -762,7 +767,7 @@ def spatial_multi_step(mesh: Mesh, lay: SpatialLayout, options: SolverOptions):
             active = state.batch_slot[i] >= 0
             e = _pop_env(cfg, state.mass_t[i], active, state.batch_slot[i],
                          state.batch_target, follow_radius[i], sub_dt,
-                         options)
+                         options, lay)
             static_env.append(dict(damp=e["damp"], follow_c=e["follow_c"],
                                    cell_size=e["cell_size"],
                                    params=e["params"]))
