@@ -39,13 +39,24 @@ class DemoState:
     """Interactive-equivalent demo driver with programmatic 'keys'."""
 
     def __init__(self, width: int = 800, height: int = 600, seed: int = 0,
-                 **handler_kwargs):
+                 spatial=None, **handler_kwargs):
+        """``spatial=(db, dx)`` runs the session on a multi-chip
+        :class:`~..parallel.spatial_handler.SpatialHandler` over a
+        ``db x dx`` device mesh (same public API, sharded step + render);
+        default is the single-chip :class:`SimulationHandler`."""
         self.width, self.height = width, height
         self.rng = random.Random(seed)
         handler_kwargs.setdefault("capacity", 8192)
-        self.handler = SimulationHandler(config_mod.default_white_config(),
-                                         config_mod.default_yolk_config(),
-                                         **handler_kwargs)
+        if spatial is not None:
+            from .parallel.spatial_handler import SpatialHandler
+            db, dx = spatial
+            self.handler = SpatialHandler(config_mod.default_white_config(),
+                                          config_mod.default_yolk_config(),
+                                          db=db, dx=dx, **handler_kwargs)
+        else:
+            self.handler = SimulationHandler(config_mod.default_white_config(),
+                                             config_mod.default_yolk_config(),
+                                             **handler_kwargs)
         # the reference demo shrinks particles before spawning (test.lua:56-66)
         self.handler.set_yolk_config({"min_radius": 0.5, "max_radius": 1.0})
         self.handler.set_white_config({"min_radius": 1.5, "max_radius": 2.0})
@@ -136,9 +147,10 @@ class DemoState:
 
 
 def run_demo(frames: int = 120, out_dir: Optional[str] = None, seed: int = 0,
-             spawn_every: int = 30, swap_at: int = 60) -> dict:
+             spawn_every: int = 30, swap_at: int = 60, spatial=None,
+             **demo_kwargs) -> dict:
     """Scripted session: spawn batches, drag along the path, config-swap."""
-    demo = DemoState(seed=seed)
+    demo = DemoState(seed=seed, spatial=spatial, **demo_kwargs)
     for _ in range(4):
         demo.spawn_batch()
     for f in range(frames):
@@ -180,9 +192,49 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--out", type=str, default=None, help="PNG output directory")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--capacity", type=int, default=8192,
+                    help="particle capacity (smaller = faster first compile)")
+    ap.add_argument("--spatial", type=str, default=None, metavar="DBxDX",
+                    help="run on a db x dx spatial device mesh (e.g. 2x2); "
+                         "re-execs on a virtual CPU mesh when the current "
+                         "interpreter lacks enough devices")
     args = ap.parse_args()
     if args.out:
         import os
         os.makedirs(args.out, exist_ok=True)
-    stats = run_demo(frames=args.frames, out_dir=args.out, seed=args.seed)
+    spatial = None
+    if args.spatial:
+        db, dx = (int(v) for v in args.spatial.lower().split("x"))
+        import os
+        import subprocess
+        import sys
+        flags_env = os.environ.get("XLA_FLAGS", "")
+        forced = 0
+        for f in flags_env.split():
+            if "xla_force_host_platform_device_count" in f and "=" in f:
+                try:
+                    forced = int(f.rsplit("=", 1)[1])
+                except ValueError:
+                    pass
+        cpu_ready = (os.environ.get("JAX_PLATFORMS", "") == "cpu"
+                     and not os.environ.get("PALLAS_AXON_POOL_IPS")
+                     and forced >= db * dx)
+        if not cpu_ready:
+            # TPU-pinned (or single-device) interpreter: re-exec on a
+            # virtual CPU mesh exactly like bench.py --spatial
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            flags = [f for f in env.get("XLA_FLAGS", "").split()
+                     if "xla_force_host_platform_device_count" not in f]
+            flags.append(f"--xla_force_host_platform_device_count={db * dx}")
+            env["XLA_FLAGS"] = " ".join(flags)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            env.pop("JAX_PLATFORM_NAME", None)
+            env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_cpu_spatial"
+            raise SystemExit(subprocess.run(
+                [sys.executable, "-m", "egg_fluid_simulation_tpu.demo",
+                 *(a for a in sys.argv[1:])], env=env).returncode)
+        spatial = (db, dx)
+    stats = run_demo(frames=args.frames, out_dir=args.out, seed=args.seed,
+                     spatial=spatial, capacity=args.capacity)
     print(stats)

@@ -50,6 +50,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.mathx import EPS
 from .grid import segmented_rank
@@ -91,9 +92,9 @@ class SweepParams(NamedTuple):
     collision_overlap_factor: jnp.ndarray
     cohesion_factor: jnp.ndarray
     max_pairs: jnp.ndarray     # ordered-budget cutoff; +inf when budget off
-    cell_size: jnp.ndarray = jnp.float32(1.0)  # for the wide sweep's
+    cell_size: jnp.ndarray = np.float32(1.0)   # for the wide sweep's
                                # FRESH-cell pair mask (see sweep_planes_jnp)
-    fresh_mod: jnp.ndarray = jnp.float32(0.0)  # torus modulus of the fresh
+    fresh_mod: jnp.ndarray = np.float32(0.0)   # torus modulus of the fresh
                                # cells; 0 = the plane's own lanes//k (the
                                # single-chip torus). The SPATIAL path must
                                # pass the GLOBAL grid_dim: its local planes

@@ -32,13 +32,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["CellGrid", "build_grid", "neighbor_candidates",
            "NEIGHBOR_OFFSETS", "count_pairs_mxu"]
 
 # Knuth-style multiplicative constants; any well-mixed odd constants work.
-_HASH_X = jnp.uint32(0x9E3779B1)
-_HASH_Y = jnp.uint32(0x85EBCA77)
+# numpy scalars ON PURPOSE: jnp scalar constructors dispatch a primitive at
+# module import, initializing the JAX backend — which dials the TPU tunnel
+# and hangs every `import egg_fluid_simulation_tpu` when the tunnel is down
+_HASH_X = np.uint32(0x9E3779B1)
+_HASH_Y = np.uint32(0x85EBCA77)
 
 # 3x3 neighborhood, matching the reference's cell scan at :1568-1569.
 NEIGHBOR_OFFSETS = [(-1, -1), (-1, 0), (-1, 1),

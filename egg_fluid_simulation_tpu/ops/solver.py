@@ -53,6 +53,7 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DeviceConfig
 from ..state import ParticleState, StepStats
@@ -64,7 +65,7 @@ __all__ = ["SolverOptions", "step", "multi_step", "substep", "pre_solve",
            "solve_follow", "solve_pairs", "post_solve",
            "strength_to_compliance", "take_batch_rows", "batch_segment_sums"]
 
-_BIG = jnp.float32(3.4e38)
+_BIG = np.float32(3.4e38)  # np scalar: no backend init at import
 
 # aux plane field layout (ride-along fields of the plane-resident dense step)
 AUX_PX = 0   # previous x (start of current substep)

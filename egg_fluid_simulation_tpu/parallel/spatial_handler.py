@@ -302,9 +302,11 @@ class SpatialHandler:
 
     # ------------------------------------------------------------ render --
 
-    def draw(self, viewport=None):
+    def draw(self, viewport=None, background=None):
         """Sharded render: per-device splats combined with one log-space
-        psum; returns the replicated (H, W, 4) frame."""
+        psum; returns the replicated (H, W, 4) frame. ``background`` is an
+        optional (r, g, b, a) composited under everything, exactly like
+        ``SimulationHandler.draw`` (ops/render.draw)."""
         from ..ops import render as render_ops
         if viewport is None:
             viewport = (0.0, 0.0, 800, 600)
@@ -337,9 +339,17 @@ class SpatialHandler:
                 self._inner._thresholding_threshold,
                 self._inner._thresholding_smoothness,
                 self._inner._use_lighting)
-        return self._draw_cache[key](
+        frame = self._draw_cache[key](
             self._sp_state, stats, self._inner._device_cfg2(),
             jnp.float32(self._interpolation_alpha))
+        if background is not None:
+            bg = jnp.asarray(background, jnp.float32)
+            a = frame[..., 3:4]
+            frame = jnp.concatenate([
+                frame[..., :3] + bg[:3] * (1.0 - a),
+                jnp.maximum(frame[..., 3:4], bg[3]),
+            ], axis=-1)
+        return frame
 
     # ----------------------------------------------------------- queries --
 

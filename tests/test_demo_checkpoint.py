@@ -145,3 +145,19 @@ def test_checkpoint_preserves_render_k_boost(tmp_path):
     checkpoint.save(d.handler, path)
     restored = checkpoint.load(path)
     assert restored._render_k_boost == [2.0, 1.5]
+
+
+@pytest.mark.slow
+def test_demo_spatial_session_runs():
+    """The demo session runs unmodified on a SpatialHandler over a 2x2 mesh
+    (same public API: spawn, targets, update, draw-with-background)."""
+    d = demo_mod.DemoState(capacity=1024, spatial=(2, 2))
+    d.spawn_batch()
+    d.spawn_batch()
+    for _ in range(3):
+        d.update()
+    frame = d.draw()
+    assert frame.shape == (600, 800, 4)
+    assert np.isfinite(frame).all()
+    stats = d.overlay_stats()
+    assert stats["n_particles"] > 0
