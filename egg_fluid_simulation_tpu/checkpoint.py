@@ -23,8 +23,18 @@ __all__ = ["save", "load"]
 _FORMAT_VERSION = 1
 
 
-def save(handler: SimulationHandler, path: str) -> None:
-    """Write the complete simulation state to ``path`` (npz)."""
+def save(handler, path: str) -> None:
+    """Write the complete simulation state to ``path`` (npz).
+
+    Accepts a :class:`SimulationHandler` or a multi-chip
+    :class:`~.parallel.spatial_handler.SpatialHandler` — the latter syncs
+    its live sharded state back into the prefix layout first, so the
+    checkpoint format is identical (resume single-chip, or wrap with
+    ``SpatialHandler.from_handler`` for any mesh shape)."""
+    sync = getattr(handler, "_sync_inner", None)
+    if sync is not None:
+        sync()
+        handler = handler._inner
     arrays = {f"state_{f.name}": np.asarray(getattr(handler.state, f.name))
               for f in fields(ParticleState)}
     meta = {

@@ -110,6 +110,27 @@ class SpatialHandler:
         self._last_info = None
         self._redistribute_count = 0
 
+    @classmethod
+    def from_handler(cls, inner, *, db: int = 1, dx: int = 1, devices=None,
+                     layout=None, migrate_cap=None) -> "SpatialHandler":
+        """Wrap an existing :class:`SimulationHandler` (e.g. restored via
+        ``checkpoint.load(path, options=dense_options)``) as the inner state
+        of a spatial handler on a ``db x dx`` mesh. The inner handler's
+        options must satisfy the spatial preconditions (dense engine,
+        ``budget_mode='off'``, one shared grid)."""
+        assert inner._capacity % (db * dx) == 0, (
+            "inner capacity must divide evenly across the mesh")
+        self = cls(inner.get_white_config(), inner.get_yolk_config(),
+                   db=db, dx=dx, devices=devices,
+                   capacity=inner._capacity, max_batches=inner._max_batches,
+                   options=inner._options, layout=layout,
+                   migrate_cap=migrate_cap, canvas_size=inner._canvas_size)
+        self._inner = inner   # adopt state + batch registry wholesale; the
+        self._sp_state = None # sharded layout re-establishes lazily
+        self._elapsed = getattr(inner, "_elapsed", 0.0)
+        self._interpolation_alpha = getattr(inner, "_interpolation_alpha", 0.0)
+        return self
+
     # ----------------------------------------------------------- layout --
 
     def _cell_sizes(self):
