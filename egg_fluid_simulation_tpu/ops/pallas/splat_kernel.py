@@ -32,6 +32,7 @@ particle-color fallback; unit tests diff the two in interpret mode.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["splat_tiles", "on_tpu"]
 
 _CHUNK = 128      # candidates per eval block: the minor (lane) dim
-_TILE_GROUP = 8   # tiles per program; amortizes per-program ramp + DMA issue
+_TILE_GROUP = int(os.environ.get("EGG_SPLAT_TILE_GROUP", "8"))
+                  # tiles per program; amortizes per-program ramp + DMA issue;
+                  # env override for hardware tuning sweeps
 
 # payload field order — must match splat_population's ``pack`` columns
 # (ops/render.py): x, y, cos, sin, extent_perp, extent_par, inv_sx, inv_sy, a

@@ -18,6 +18,7 @@ diff the kernel (in interpret mode off-TPU) against them bit-for-bit.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -30,8 +31,10 @@ from .. import dense as D
 
 __all__ = ["sweep_planes", "count_planes"]
 
-_BLOCK_ROWS = 32  # rows per program; larger blocks amortize the 2*ROW_PAD
-                  # DMA halo (only +-1 row is read) and the per-program ramp
+_BLOCK_ROWS = int(os.environ.get("EGG_SWEEP_BLOCK_ROWS", "32"))
+                  # rows per program; larger blocks amortize the 2*ROW_PAD
+                  # DMA halo (only +-1 row is read) and the per-program ramp;
+                  # env override for hardware block-size sweeps
 
 
 def _lane_mask_2d(rows: int, lanes: int, k: int, d: int, window: int = 1):
