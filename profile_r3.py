@@ -284,13 +284,23 @@ def main():
 
     res["merge_ms"] = round(chain_ms(merge_piece, jnp.float32(0.0)), 3)
 
-    # --- step ---
+    # --- step (one-sided vs symmetric sweep) ---
     def step(s):
         s2, _ = solver_ops._step_impl(s, cfg2, dt, relax, options,
                                       with_stats=False)
         return s2
 
     res["step_ms"] = round(chain_ms(step, state), 3)
+
+    import dataclasses
+    options_sym = dataclasses.replace(options, sweep_symmetric=True)
+
+    def step_sym(s):
+        s2, _ = solver_ops._step_impl(s, cfg2, dt, relax, options_sym,
+                                      with_stats=False)
+        return s2
+
+    res["step_sym_ms"] = round(chain_ms(step_sym, state), 3)
     print(json.dumps(res), flush=True)
 
 
