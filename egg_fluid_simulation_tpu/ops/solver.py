@@ -544,7 +544,7 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
     planes, aux = _plane_run(planes, aux, damp, follow_c, params, sub_dt,
                              relaxation, options, g, k, n_sub,
                              cohesion=cohesion, ordered=ordered)
-    return _plane_extract(planes, aux, binning.slot, g, lanes)
+    return _plane_extract(planes, aux, binning.slot, g, lanes, sub_dt=sub_dt)
 
 
 def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
@@ -708,24 +708,40 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
     return planes, aux, fb_p, fb_prev, fb_v, (trip, budget, calm)
 
 
-def _plane_extract(planes, aux, slot, g: int, lanes: int):
+def _plane_extract(planes, aux, slot, g: int, lanes: int, sub_dt=None):
     """One gather pulling (pos, prev, vel) per particle out of plane layout.
 
     ``in_grid`` additionally requires the slot's FIELD_OCC to be set: a
     particle whose placement was dropped (per-cell cap, or the placement
     kernel's bounded overflow window) reads zeros from the planes and must
     fall back to integration-without-collision — the reference's
-    past-budget behavior (:1656-1658) — rather than collapse to (0, 0)."""
+    past-budget behavior (:1656-1658) — rather than collapse to (0, 0).
+
+    With ``sub_dt`` the velocity is DERIVED as ``(pos - prev) / sub_dt`` —
+    bit-identical to the stored AUX_VX/VY (the post-solve update is exactly
+    that expression on the same operands) and two gathered columns cheaper
+    (~30%% of the extraction's bandwidth at 1M). Only valid after at least
+    one substep ran on these planes: at bin time AUX_PX/PY hold the CURRENT
+    position, so the derived velocity would be zero — callers on a
+    maybe-zero-substep path must pass ``sub_dt=None`` (stored velocity)."""
     rp = dense_ops.ROW_PAD
-    ext = jnp.stack([planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
-                     aux[AUX_PX], aux[AUX_PY],
-                     aux[AUX_VX], aux[AUX_VY],
-                     planes[dense_ops.FIELD_OCC]], axis=-1)  # (rows, L, 7)
-    ext = ext.reshape(-1, 7)
+    cols = [planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y],
+            aux[AUX_PX], aux[AUX_PY]]
+    if sub_dt is None:
+        cols += [aux[AUX_VX], aux[AUX_VY]]
+    cols.append(planes[dense_ops.FIELD_OCC])
+    ext = jnp.stack(cols, axis=-1)                # (rows, L, 5 or 7)
+    n_c = ext.shape[-1]
+    ext = ext.reshape(-1, n_c)
     padded = jnp.minimum(slot + rp * lanes, ext.shape[0] - 1)
     got = ext[padded]
-    in_grid = (slot < g * lanes) & (got[:, 6] > 0.0)
-    return got[:, 0:2], got[:, 2:4], got[:, 4:6], in_grid
+    in_grid = (slot < g * lanes) & (got[:, n_c - 1] > 0.0)
+    p, prev = got[:, 0:2], got[:, 2:4]
+    if sub_dt is None:
+        vel = got[:, 4:6]
+    else:
+        vel = (p - prev) / sub_dt
+    return p, prev, vel, in_grid
 
 
 def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
@@ -794,7 +810,7 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
             sub_dt, relaxation, options, g, k, n_sub,
             cohesion=cohesion, ordered=ordered, wide=wide_state)
         p_pl, prev_pl, v_pl, in_grid = _plane_extract(planes, aux, slot,
-                                                      g, lanes)
+                                                      g, lanes, sub_dt=sub_dt)
         sel = (in_grid & act)[:, None]
         keep = act[:, None]
         new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, pos))
@@ -870,7 +886,7 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
 
     def merge(planes, aux, slot, fb_p, fb_prev, fb_v):
         p_pl, prev_pl, v_pl, in_grid = _plane_extract(planes, aux, slot,
-                                                      g, lanes)
+                                                      g, lanes, sub_dt=sub_dt)
         sel = (in_grid & act)[:, None]
         p = jnp.where(sel, p_pl, fb_p)
         pr = jnp.where(sel, prev_pl, fb_prev)
@@ -940,6 +956,12 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
                               carry)
     planes, aux, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref, ws = carry
     p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v)
+    # merge DERIVES vel as (pos - prev)/sub_dt, which is zero on planes that
+    # never ran a substep (n_steps == 0: aux prev == pos from bin time) —
+    # fall back to the input velocity, carried untouched in fb_v
+    stepped = n_steps > 0
+    v = jnp.where(stepped, v, fb_v)
+    pr = jnp.where(stepped, pr, fb_prev)
     return p, pr, v, inv_mass, radius, ws
 
 
@@ -1199,8 +1221,9 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         return binning.planes, binning.aux, binning.slot, binning.planes[:2]
 
     def merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp):
+        # derived velocity (always called right after a substep run)
         p_pl, prev_pl, v_pl, in_grid = _plane_extract(
-            planes, aux, slot, pp["g"], pp["g"] * pp["k"])
+            planes, aux, slot, pp["g"], pp["g"] * pp["k"], sub_dt=sub_dt)
         sel = (in_grid & pp["act"])[:, None]
         return (jnp.where(sel, p_pl, fb_p), jnp.where(sel, prev_pl, fb_prev),
                 jnp.where(sel, v_pl, fb_v))
