@@ -235,26 +235,44 @@ def _smoothstep(e0, e1, x):
 
 # -------------------------------------------------------------- splat pass --
 
+def _ring_depth(opts: RenderOptions) -> Tuple[int, int]:
+    """Bin-grid ring rows/cols beyond each canvas edge.
+
+    A splat center up to ``max_splat_px`` outside the canvas still touches
+    it (the reference rasterizes any quad intersecting the canvas,
+    :2046-2064). Binning those into REAL exterior ring bins keeps per-bin
+    occupancy at scene density; clamping them into the edge bins instead
+    funnels the whole off-canvas reach band into one bin row, which no
+    honest per-bin budget can hold when the scene is larger than the
+    clamped 2560 canvas (the 1M bench: ~65k funneled drops at k=256)."""
+    e = opts.max_splat_px
+    return -(-e // opts.bin_h), -(-e // opts.bin_w)
+
+
 def _bin_particles(p_canvas, active, opts: RenderOptions):
     """Bin each particle ONCE by its center bin; tiles gather neighbor bins.
 
     One sorted entry per particle (multi-bin scatter windows cost ~18x more
     sort traffic); a splat reaches at most ``max_splat_px``, so at eval time a
     tile's candidates are the bins within a static neighborhood — see
-    :func:`_tile_candidates`. Returns ``(table, n_overflow)``: a
+    :func:`_tile_bins`. The bin grid EXTENDS one ring of ``_ring_depth``
+    bins beyond every canvas edge so near-edge exterior particles bin at
+    scene density. Returns ``(table, n_overflow)``: a
     ``(n_bins + 1, tile_capacity)`` index table (-1 empty; last row holds
-    off-canvas particles, never read) and the count of on-canvas particles
-    dropped past the per-bin budget.
+    beyond-reach particles, never read) and the count of canvas-reaching
+    particles dropped past the per-bin budget.
     """
     s, bh, bw, e = opts.eff_size, opts.bin_h, opts.bin_w, opts.max_splat_px
-    nby, nbx = s // bh, s // bw
+    ry, rx = _ring_depth(opts)
+    nby, nbx = s // bh + 2 * ry, s // bw + 2 * rx
     n_bins = nby * nbx
 
     n = p_canvas.shape[0]
-    by = jnp.floor(p_canvas[:, 1] / bh).astype(jnp.int32)
-    bx = jnp.floor(p_canvas[:, 0] / bw).astype(jnp.int32)
-    # particles slightly off-canvas can still splat onto it: clamp into the
-    # edge bins when within reach, drop entirely beyond max_splat_px
+    by = jnp.floor(p_canvas[:, 1] / bh).astype(jnp.int32) + ry
+    bx = jnp.floor(p_canvas[:, 0] / bw).astype(jnp.int32) + rx
+    # particles slightly off-canvas splat onto it: they bin into the ring
+    # (the clip only engages in the sliver between reach e and the ring
+    # boundary ry*bh >= e); beyond max_splat_px they are dropped entirely
     reach_y = (p_canvas[:, 1] > -e) & (p_canvas[:, 1] < s + e)
     reach_x = (p_canvas[:, 0] > -e) & (p_canvas[:, 0] < s + e)
     by = jnp.clip(by, 0, nby - 1)
@@ -297,31 +315,30 @@ def _tile_bins(opts: RenderOptions):
 
     The window is every bin intersecting the tile dilated by the splat
     reach — bins are footprint-sized (auto_render_options), so candidates
-    stay local to the tile. Out-of-canvas window positions point at the
-    always-empty bin ``n_bins``."""
+    stay local to the tile. The window halo depth equals the exterior ring
+    depth of :func:`_bin_particles`, so edge tiles' windows land exactly on
+    the ring bins holding near-edge exterior particles."""
     s, th, tw = opts.eff_size, opts.tile_h, opts.tile_w
-    bh, bw, e = opts.bin_h, opts.bin_w, opts.max_splat_px
+    bh, bw = opts.bin_h, opts.bin_w
     nty, ntx = s // th, s // tw
-    nby, nbx = s // bh, s // bw
+    ry, rx = _ring_depth(opts)           # halo == exterior ring depth
+    nby, nbx = s // bh + 2 * ry, s // bw + 2 * rx
     n_tiles = nty * ntx
-    n_bins = nby * nbx
-    ry = -(-e // bh)                     # halo bins on each side
-    rx = -(-e // bw)
     wy = th // bh + 2 * ry
     wx = tw // bw + 2 * rx
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     ty = tids // ntx
     tx = tids % ntx
-    by0 = ty * (th // bh) - ry
-    bx0 = tx * (tw // bw) - rx
+    # in ring-extended bin coords (+r offset cancels the -r halo start):
+    # every window position is a real bin — by0 >= 0 and the last tile's
+    # window top is exactly nby - 1
+    by0 = ty * (th // bh)
+    bx0 = tx * (tw // bw)
     neighbors = []
     for dy in range(wy):
         for dx in range(wx):
-            ny = by0 + dy
-            nx = bx0 + dx
-            ok = (ny >= 0) & (ny < nby) & (nx >= 0) & (nx < nbx)
-            neighbors.append(jnp.where(ok, ny * nbx + nx, n_bins))
+            neighbors.append((by0 + dy) * nbx + (bx0 + dx))
     return jnp.stack(neighbors, axis=1)                     # (n_tiles, wy*wx)
 
 

@@ -65,6 +65,46 @@ def test_clustered_scene_overflows_then_autobumps():
     assert int(np.asarray(overflows_b).sum()) == 0
 
 
+def test_clamped_canvas_edge_contributions_match_unclamped():
+    """A scene LARGER than its canvas: near-edge exterior particles must
+    still contribute (the reference rasterizes any quad intersecting the
+    canvas, :2046-2064) and must NOT funnel into edge-bin overflow — they
+    bin into the exterior ring at scene density (ops/render._ring_depth).
+    The clamped render must equal the matching window of an unclamped one.
+    """
+    rng = np.random.default_rng(7)
+    # uniform scene ~320 px across, centered at (150, 150)
+    n_side = 56
+    xs = np.linspace(-10.0, 310.0, n_side)
+    p = np.stack(np.meshgrid(xs, xs), axis=-1).reshape(-1, 2)
+    p = p + rng.uniform(-1.5, 1.5, p.shape)
+    n = p.shape[0]
+    pos = jnp.asarray(p, jnp.float32)
+    vel = jnp.zeros_like(pos)
+    radius = jnp.full((n,), 3.0, jnp.float32)
+    color = jnp.tile(jnp.asarray([1.0, 1.0, 1.0, 0.9], jnp.float32), (n, 1))
+    act = jnp.ones((n,), bool)
+    center = jnp.asarray([150.0, 150.0], jnp.float32)
+
+    def opts_for(s):
+        return render_ops.RenderOptions(
+            canvas_size=s, tile_h=32, tile_w=128, bin_h=16, bin_w=16,
+            max_splat_px=16, tile_capacity=32)
+
+    kw = dict(use_pallas=False)
+    args = (pos, pos, vel, radius, color, act, center, jnp.float32(1.0),
+            jnp.float32(4.0), jnp.float32(0.0))
+    small, _, ov_small = render_ops.splat_population(*args, opts_for(256), **kw)
+    big, _, ov_big = render_ops.splat_population(*args, opts_for(512), **kw)
+    assert int(ov_small) == 0, "exterior ring must absorb near-edge particles"
+    assert int(ov_big) == 0
+    # canvas origins are center - S/2: the small canvas sits at offset
+    # (512-256)/2 = 128 inside the big one
+    np.testing.assert_allclose(np.asarray(small),
+                               np.asarray(big)[128:384, 128:384],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_uniform_scene_budget_is_honest_without_boost():
     """A uniformly spread scene must not overflow with the default slack."""
     h = SimulationHandler(
