@@ -105,8 +105,13 @@ def test_clamped_canvas_edge_contributions_match_unclamped():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_uniform_scene_budget_is_honest_without_boost():
-    """A uniformly spread scene must not overflow with the default slack."""
+    """A uniformly spread scene must not overflow with the default slack.
+
+    Slow tier: compile-dominated (~2 min on 1 CPU); the fast tier's
+    clamped-vs-unclamped gate above asserts zero overflow on two canvases.
+    """
     h = SimulationHandler(
         default_white_config(), default_yolk_config(),
         capacity=1024, max_batches=8,
