@@ -227,6 +227,15 @@ def main() -> None:
     results["render_ms_1m"] = round(ms - results["step_ms_1m"], 3)
     results["render_overflow_dropped"] = n_dropped
 
+    # solver honesty: settled collision-budget drop rate of the headline
+    # scene (the reference drops nothing at scale; a persistent settled
+    # drop rate would mean the dense grid is undersized and the timed
+    # physics softer than the reference's)
+    from egg_fluid_simulation_tpu.utils.profiling import collision_drop_stats
+    ds = collision_drop_stats(h)
+    results["collision_drop_pct_white"] = round(ds["white"]["drop_pct"], 3)
+    results["max_cell_occupancy_white"] = ds["white"]["max_cell_occupancy"]
+
     target_ms = 16.0
     out = {
         "metric": "p50 step+render latency at 1M particles",

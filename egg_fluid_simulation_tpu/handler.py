@@ -167,8 +167,20 @@ class SimulationHandler:
             cap = 1 << max(10, int(math.ceil(math.log2(n))))
             cap = min(cap, self._capacity)
             caps.append(cap)
+            # Grid sizing: slots (g^2 * K) >= 4x the population cap, i.e.
+            # mean occupancy <= K/4 even fully live. The old rule (slots ~=
+            # cap) saturated the grid: a physically packed scene has ~2
+            # particles per reference-sized cell and covers ~2x the torus
+            # extent the old g allowed (aliasing doubles occupancy again),
+            # so a large fraction of particles permanently overflowed the
+            # per-cell budget, lost collision every step, and collapsed
+            # onto their follow targets in ~10^3-particle stacks (measured
+            # at 65k AND 1M; the reference drops nothing at any scale — its
+            # 0.05 n^2 pair budget is astronomically slack, :1656-1658).
+            # K=4 at g^2 >= cap gives settled occupancy ~1.9/cell with a
+            # torus ~1.4x the packed-scene extent: drops are transient-only.
             g = 32
-            while g * g * 4 < cap and g < 1024:
+            while g * g < cap and g < 2048:
                 g *= 2
             grids.append(g)
         kw = {}

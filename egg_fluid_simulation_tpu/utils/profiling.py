@@ -18,7 +18,7 @@ import numpy as np
 
 from . import log
 
-__all__ = ["StepTimer", "trace", "validate_state"]
+__all__ = ["StepTimer", "trace", "validate_state", "collision_drop_stats"]
 
 
 class StepTimer:
@@ -73,6 +73,47 @@ def trace(dir_path: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def collision_drop_stats(handler) -> dict:
+    """Host-side dense-grid budget audit for the CURRENT state.
+
+    Per population: particles past the per-cell slot budget K in their torus
+    cell ``floor(pos / cell) mod G`` — the count the dense engine would drop
+    from collision this rebin (integration-only fallback). The reference
+    drops nothing at scale (its 0.05 n^2 pair cutoff is astronomically
+    slack above ~360 particles, simulation_handler.lua:1656-1658), so a
+    HEALTHY configuration shows only transient drops: a persistent settled
+    drop rate means the grid is undersized (see SimulationHandler
+    ._auto_options) and dropped particles collapse onto their follow
+    targets. Keys: ``drop_pct`` (of live), ``max_cell_occupancy``,
+    ``mean_cell_occupancy`` per population.
+    """
+    state = handler.state
+    options = handler._options
+    active = np.asarray(state.active_mask())
+    out = {}
+    for pop, name in ((0, "white"), (1, "yolk")):
+        cfg = handler._white_config if pop == 0 else handler._yolk_config
+        cell = max(1.0, cfg["max_radius"]
+                   * max(cfg["collision_overlap_factor"],
+                         cfg["cohesion_interaction_distance_factor"]))
+        g = options.dense_grid_dim[pop]
+        k = options.dense_slots[pop]
+        pos = np.asarray(state.pos[pop])[active[pop]]
+        n = pos.shape[0]
+        if n == 0:
+            out[name] = dict(drop_pct=0.0, max_cell_occupancy=0,
+                             mean_cell_occupancy=0.0)
+            continue
+        c = np.mod(np.floor(pos / cell).astype(np.int64), g)
+        counts = np.bincount(c[:, 1] * g + c[:, 0], minlength=g * g)
+        dropped = np.maximum(counts - k, 0).sum()
+        occ = counts[counts > 0]
+        out[name] = dict(drop_pct=100.0 * dropped / n,
+                         max_cell_occupancy=int(counts.max()),
+                         mean_cell_occupancy=float(occ.mean()))
+    return out
 
 
 def validate_state(handler, *, fatal: bool = True) -> bool:
