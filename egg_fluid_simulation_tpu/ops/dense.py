@@ -53,12 +53,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.mathx import EPS
-from .grid import segmented_rank
+from .grid import segment_extent, segmented_rank
 
 __all__ = ["DenseBinning", "SweepParams", "bin_to_planes", "sweep_planes_jnp",
            "count_planes_jnp", "lane_mask", "fill_halo", "refresh_halo_xy",
            "FIELD_X", "FIELD_Y", "FIELD_W", "FIELD_R", "FIELD_BATCH",
            "FIELD_CUM", "FIELD_IDX", "FIELD_OCC", "N_FIELDS", "ROW_PAD"]
+
+# Separation axis for COINCIDENT pairs (dist <= eps). The reference's
+# normalize(0,0) -> (0,0) makes coincident pairs exert zero force
+# (math.lua normalize + :1524-1531), which it never hits because every pair
+# is always resolved; a budgeted Jacobi solver DOES hit it — particles that
+# lost collision while over budget collapse onto their follow target, and
+# once coincident the zero direction makes the stack a stable equilibrium
+# (measured: ~3.4k-particle stacks at 1M). Coincident pairs therefore
+# separate along a fixed oblique unit axis, with an ANTISYMMETRIC sign per
+# pair side (sgn(dy, d)) so both sides push apart, not together. Honest
+# scenes (no coincident pairs) are bit-for-bit unaffected.
+TIE_X = 0.5403023  # cos(1) — oblique so lines don't align with the cell grid
+TIE_Y = 0.8414710  # sin(1)
 
 # field layout of the (F, G+2R, L) pair-plane tensor (read by the sweep kernel)
 FIELD_X = 0       # position x (px)
@@ -68,7 +81,11 @@ FIELD_R = 3       # radius
 FIELD_BATCH = 4   # batch slot as float (exact below 2^24)
 FIELD_CUM = 5     # exclusive prefix of examined-pair counts (ordered budget)
 FIELD_IDX = 6     # particle index as float (pair ordering / self exclusion)
-FIELD_OCC = 7     # 1.0 = occupied slot
+FIELD_OCC = 7     # > 0 = occupied slot. Product paths (bin_to_planes
+                  # rotate=True) store the cell's TRUE occupancy (incl.
+                  # over-budget members) so the sweep can boost resolved
+                  # pairs by the unresolved fraction (occupancy pressure);
+                  # ordered-budget/spatial paths store 1.0 (boost neutral)
 N_FIELDS = 8
 
 ROW_PAD = 8       # halo rows above/below the grid; 8-row alignment lets the
@@ -102,6 +119,14 @@ class SweepParams(NamedTuple):
                                # adjacent to 0) is not a multiple of the
                                # local width and a local modulus would
                                # reject wrap-adjacent pairs.
+    occ_boost_cap: jnp.ndarray = np.float32(8.0)  # occupancy-pressure cap:
+                               # each resolved pair's correction scales by
+                               # clip(occ_other / K, 1, cap) to stand in for
+                               # the partners past the slot budget (the
+                               # reference resolves ALL pairs, :1548-1666;
+                               # a capped-K Jacobi otherwise UNDER-pressures
+                               # crowded cells and the follow pull
+                               # over-compresses them ~4x). <= 1 disables.
 
     def pack(self) -> jnp.ndarray:
         vals = [jnp.asarray(v, jnp.float32) for v in self]
@@ -139,10 +164,22 @@ def torus_cells(pos: jnp.ndarray, cell_size, grid_dim: int) -> jnp.ndarray:
     return jnp.mod(c.astype(jnp.int32), grid_dim)
 
 
+def rotate_hash_buckets(grid_dim: int) -> int:
+    """Hash buckets per cell for the rotating winner key (see
+    ``bin_to_planes`` rotate=True): as many low bits as fit beside
+    ``cell_id`` in a non-negative i32, capped at 4096. Layout-dependent
+    callers (parallel/spatial._bin_local) must use the GLOBAL grid_dim so
+    the hash truncation — and therefore the winner order — matches the
+    single-chip binning exactly."""
+    import math
+    return 1 << min(12, int(math.floor(math.log2((2**31 - 1)
+                                                 / (grid_dim * grid_dim + 1)))))
+
+
 def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
                   *, grid_dim: int, slots_per_cell: int,
                   cum=None, aux_cols=None, use_placement=False,
-                  interpret=False) -> DenseBinning:
+                  rotate=False, interpret=False) -> DenseBinning:
     """Sort-bin particles into dense field planes.
 
     ``aux_cols`` is an optional (N, A) matrix of extra per-particle fields to
@@ -170,8 +207,37 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
     cell_id = jnp.where(active, cell_id, g * g)            # sentinel
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    cid_sorted, pidx_sorted = jax.lax.sort_key_val(cell_id, idx)
-    rank = segmented_rank(cid_sorted)
+    if rotate:
+        # Rotate which K members of an over-occupied cell win slots.
+        # ``sort_key_val`` is STABLE, so without this the lowest-index K
+        # particles of every cell win every rebin and the rest NEVER
+        # collide — permanent budget drops whose zero-pressure victims the
+        # follow constraint collapses into dense stacks (the reference's
+        # budget is ordered but so slack it never binds, :1656-1658).
+        # Winner rank within a cell = hash of the particle's POSITION BITS,
+        # folded into the low bits of the (still single-i32) sort key:
+        # layout-independent (the spatial decomposition computes the same
+        # order from its local windows — parallel/spatial._bin_local),
+        # self-rotating (any sub-ulp movement reshuffles the hash), and
+        # inert exactly when rotation is moot (a bit-static scene needs no
+        # new pairs; cells at or under K place every member regardless).
+        hb = rotate_hash_buckets(g)
+        xb = jax.lax.bitcast_convert_type(pos[:, 0], jnp.int32)
+        yb = jax.lax.bitcast_convert_type(pos[:, 1], jnp.int32)
+        h = xb * jnp.int32(-1640531535) + yb * jnp.int32(-2048144789)
+        h = jnp.bitwise_and(jnp.bitwise_xor(h, jnp.right_shift(h, 15)),
+                            jnp.int32(hb - 1))
+        key = cell_id * jnp.int32(hb) + h
+        key_sorted, pidx_sorted = jax.lax.sort_key_val(key, idx)
+        cid_sorted = key_sorted // jnp.int32(hb)
+        # cell occupancy rides along (FIELD_OCC carries the TRUE cell count
+        # incl. over-budget members, feeding the sweep's occupancy-pressure
+        # boost); count derivation is two parallel scans, and the count
+        # returns to original order as an extra payload of the inverse sort
+        rank, cnt_sorted = segment_extent(cid_sorted)
+    else:
+        cid_sorted, pidx_sorted = jax.lax.sort_key_val(cell_id, idx)
+        rank = segmented_rank(cid_sorted)
     # unpadded flat slot: row * L + cx * K + rank
     row = cid_sorted // g
     cx = cid_sorted - row * g
@@ -180,7 +246,13 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
 
     # per-particle slot = inverse permutation of (pidx_sorted -> slot_sorted);
     # sort-by-pidx costs ~2.8 ms at 1M vs ~5 ms for the element scatter
-    _, slot = jax.lax.sort_key_val(pidx_sorted, slot_sorted)
+    if rotate:
+        _, slot, occ_col = jax.lax.sort(
+            (pidx_sorted, slot_sorted, cnt_sorted.astype(jnp.float32)),
+            num_keys=1)
+    else:
+        _, slot = jax.lax.sort_key_val(pidx_sorted, slot_sorted)
+        occ_col = jnp.ones((n,), jnp.float32)
 
     if cum is None:
         cum = jnp.zeros((n,), jnp.float32)
@@ -188,7 +260,7 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
         pos[:, 0], pos[:, 1], inv_mass, radius,
         batch_slot.astype(jnp.float32), cum,
         idx.astype(jnp.float32),
-        jnp.where(active, 1.0, 0.0),
+        jnp.where(active, occ_col, 0.0),
     ], axis=1)                                             # (N, 8)
     if aux_cols is not None:
         pack = jnp.concatenate([pack, aux_cols], axis=1)   # (N, 8 + A)
@@ -301,8 +373,10 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
     tx = jnp.zeros_like(sx)
     ty = jnp.zeros_like(sy)
     (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
-     cell_size, fresh_mod) = params
+     cell_size, fresh_mod, occ_cap) = params
     fm = jnp.where(fresh_mod > 0, fresh_mod, jnp.float32(g))
+    boost_hi = jnp.maximum(occ_cap, 1.0)
+    inv_k = jnp.float32(1.0 / k)
     if fresh_mask:
         # fresh torus cells from CURRENT positions (planes are updated in
         # place every pass; only slot membership goes stale); the modulus is
@@ -318,7 +392,7 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
         dd = jnp.mod(a - b + 0.5 * fm, fm) - 0.5 * fm
         return jnp.abs(dd) <= 1
 
-    def pair_terms(tx, ty, o, mask):
+    def pair_terms(tx, ty, o, mask, sgn):
         ox, oy, ow, orr = o[FIELD_X], o[FIELD_Y], o[FIELD_W], o[FIELD_R]
         ob, ocum, oidx, oocc = (o[FIELD_BATCH], o[FIELD_CUM],
                                 o[FIELD_IDX], o[FIELD_OCC])
@@ -360,8 +434,19 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
         scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
                                   corr * sw, 0.0)
 
-        tx = tx + (-ddx * inv_dist) * scale
-        ty = ty + (-ddy * inv_dist) * scale
+        # occupancy pressure (SweepParams.occ_boost_cap): the other side's
+        # cell holds oocc members but only K are resolved — scale this
+        # pair's effect by the unresolved fraction. Honest cells (occ <= K,
+        # or 0/1-OCC layouts) give boost = 1 exactly.
+        boost = jnp.clip(oocc * inv_k, 1.0, boost_hi)
+        # coincident-pair separation (see TIE_X above): the antisymmetric
+        # sign keeps pair momentum zero; scale already carries the honest
+        # |violation|-clamped magnitude (viol = -min_d at dist 0)
+        deg = dist2 <= EPS * EPS
+        ux = jnp.where(deg, sgn * TIE_X, ddx * inv_dist)
+        uy = jnp.where(deg, sgn * TIE_Y, ddy * inv_dist)
+        tx = tx + (-ux) * (scale * boost)
+        ty = ty + (-uy) * (scale * boost)
         return tx, ty
 
     d_hi = (window + 1) * k                            # d in [-(d_hi-1), d_hi)
@@ -381,7 +466,11 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
                 ofr = roll(of_rows, d)
                 mask = (mask & torus_adjacent(sfx, ofr[0])
                         & torus_adjacent(sfy, ofr[1]))
-            return pair_terms(tx, ty, o, mask)
+            # antisymmetric pair-side sign for the coincident tiebreak:
+            # +1 on the (dy > 0) | (dy == 0 & d > 0) half-space, -1 opposite
+            sgn = (jnp.sign(jnp.asarray(d).astype(jnp.float32)) if dy == 0
+                   else jnp.float32(1.0 if dy > 0 else -1.0))
+            return pair_terms(tx, ty, o, mask, sgn)
 
         if window == 1:
             # hot narrow path: static unroll (cheap — 4k-1 offsets)

@@ -106,6 +106,24 @@ def segmented_rank(sorted_keys: jnp.ndarray) -> jnp.ndarray:
     return idx - run_start
 
 
+def segment_extent(sorted_keys: jnp.ndarray):
+    """(rank, count) of each element within its run of equal sorted keys.
+
+    ``count`` is the run's TOTAL length — for cell-sorted particles, the
+    cell's true occupancy including members past the slot budget. Two
+    parallel scans (forward cummax of run starts, reverse cummin of run
+    ends); no gathers, no extra sort.
+    """
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    change = sorted_keys[1:] != sorted_keys[:-1]
+    is_start = jnp.concatenate([jnp.ones((1,), bool), change])
+    is_end = jnp.concatenate([change, jnp.ones((1,), bool)])
+    run_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    run_end = jax.lax.cummin(jnp.where(is_end, idx, n - 1), reverse=True)
+    return idx - run_start, run_end - run_start + 1
+
+
 def count_pairs_mxu(hi: jnp.ndarray, lo: jnp.ndarray, n_hi: int, n_lo: int,
                     chunk: int = 1 << 16) -> jnp.ndarray:
     """(n_hi, n_lo) occurrence counts of id pairs via one MXU contraction.

@@ -88,7 +88,9 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
         tx = jnp.zeros_like(sx)
         ty = jnp.zeros_like(sy)
         (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
-         cell_size, fresh_mod) = params
+         cell_size, fresh_mod, occ_cap) = params
+        boost_hi = jnp.maximum(occ_cap, 1.0)
+        inv_k = 1.0 / k
 
     FX, FY = "FX", "FY"  # derived fresh-cell pseudo-fields
     if fresh_mask:
@@ -184,8 +186,17 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
             scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
                                       corr * sw, 0.0)
 
-            tx = tx + (-ddx * inv_dist) * scale
-            ty = ty + (-ddy * inv_dist) * scale
+            # occupancy-pressure boost (dense.SweepParams.occ_boost_cap)
+            boost = jnp.clip(oocc * inv_k, 1.0, boost_hi)
+            # coincident-pair separation along the fixed oblique axis with
+            # the antisymmetric per-side sign (dense.TIE_X docstring); the
+            # sign is a compile-time constant per (d, dy) term
+            sgn = 1.0 if (dy > 0 or (dy == 0 and d > 0)) else -1.0
+            deg = dist2 <= EPS * EPS
+            ux = jnp.where(deg, sgn * D.TIE_X, ddx * inv_dist)
+            uy = jnp.where(deg, sgn * D.TIE_Y, ddy * inv_dist)
+            tx = tx + (-ux) * (scale * boost)
+            ty = ty + (-uy) * (scale * boost)
 
     return acc if count_only else (tx, ty)
 
@@ -225,7 +236,9 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
     tx = jnp.zeros_like(sx)
     ty = jnp.zeros_like(sy)
     (collision_c, cohesion_c, overlap_f, cohesion_f, max_pairs,
-     cell_size, fresh_mod) = params
+     cell_size, fresh_mod, occ_cap) = params
+    boost_hi = jnp.maximum(occ_cap, 1.0)
+    inv_k = 1.0 / k
 
     FX, FY = "FX", "FY"
     if fresh_mask:
@@ -310,14 +323,22 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
             scale_s = scale_s + jnp.where(hit, corr * sw, 0.0)
             scale_o = scale_o + jnp.where(hit, corr * ow, 0.0)
 
-            ux = ddx * inv_dist
-            uy = ddy * inv_dist
-            tx = tx - ux * scale_s
-            ty = ty - uy * scale_s
+            # occupancy-pressure boost, per side: each side's correction
+            # stands in for ITS missing partners in the OTHER's cell
+            boost_s = jnp.clip(oocc * inv_k, 1.0, boost_hi)
+            boost_o = jnp.clip(socc * inv_k, 1.0, boost_hi)
+            # half-space terms (dy > 0, or dy = 0 & d > 0) carry sgn = +1;
+            # the other side gets the opposite push via +ux below — the
+            # same antisymmetric coincident tiebreak as the one-sided body
+            deg = dist2 <= EPS * EPS
+            ux = jnp.where(deg, D.TIE_X, ddx * inv_dist)
+            uy = jnp.where(deg, D.TIE_Y, ddy * inv_dist)
+            tx = tx - ux * (scale_s * boost_s)
+            ty = ty - uy * (scale_s * boost_s)
             # other side: opposite direction, own inverse-mass share; lands
             # at (row + dy, lane - d) — row shift now, lane roll once per d
-            odx = odx.at[dy:dy + rows].add(ux * scale_o)
-            ody = ody.at[dy:dy + rows].add(uy * scale_o)
+            odx = odx.at[dy:dy + rows].add(ux * (scale_o * boost_o))
+            ody = ody.at[dy:dy + rows].add(uy * (scale_o * boost_o))
         oxa = oxa + _roll(odx, -d)
         oya = oya + _roll(ody, -d)
 
@@ -338,7 +359,7 @@ def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
         dma.start()
         dma.wait()
         block = scratch[:]
-        params = tuple(params_ref[j] for j in range(7))
+        params = tuple(params_ref[j] for j in range(8))
         out = _pair_terms(block, D.ROW_PAD, block_rows, k, params,
                           cohesion, ordered_budget, count_only,
                           window=window, fresh_mask=fresh_mask)
@@ -395,7 +416,7 @@ def _make_kernel_sym(k: int, cohesion: bool, ordered_budget: bool,
         dma.start()
         dma.wait()
         block = scratch[:]
-        params = tuple(params_ref[j] for j in range(7))
+        params = tuple(params_ref[j] for j in range(8))
         out_x, out_y = _pair_terms_sym(block, D.ROW_PAD, block_rows, k, params,
                                        cohesion, ordered_budget,
                                        window=window, fresh_mask=fresh_mask)

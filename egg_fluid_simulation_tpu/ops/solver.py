@@ -158,6 +158,18 @@ class SolverOptions:
                                     # substep defaults.
     wide_rearm_substeps: int = 12   # consecutive calm substeps that end an
                                     # episode and refill the budget
+    occ_pressure_cap: float = 8.0   # occupancy-pressure boost cap (see
+                                    # dense.SweepParams.occ_boost_cap): in a
+                                    # cell of occupancy c > K each resolved
+                                    # pair's correction scales by
+                                    # clip(c/K, 1, cap), standing in for the
+                                    # over-budget partners the reference
+                                    # would have resolved (:1548-1666).
+                                    # Without it the follow pull (unbounded)
+                                    # over-compresses crowded scenes ~4x
+                                    # past honest packing. <= 1 disables.
+                                    # No effect on the ordered-budget path
+                                    # (FIELD_OCC stays 0/1 there).
     sweep_symmetric: bool = False   # Pallas sweep: evaluate each unordered
                                     # pair once and scatter both sides (same
                                     # math to float rounding, ~half the pair
@@ -457,7 +469,8 @@ def _dense_params(cfg: DeviceConfig, active, collision_compliance,
         collision_overlap_factor=cfg.collision_overlap_factor,
         cohesion_factor=cfg.cohesion_interaction_distance_factor,
         max_pairs=max_pairs,
-        cell_size=cell_size)  # fresh-cell pair mask of the wide sweep
+        cell_size=cell_size,  # fresh-cell pair mask of the wide sweep
+        occ_boost_cap=jnp.float32(options.occ_pressure_cap))
     return cell_size, params
 
 
@@ -488,7 +501,8 @@ def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active,
         grid_dim=g, slots_per_cell=k,
         use_placement=(options.use_pallas
                        and options.budget_mode != "ordered"
-                       and place_kernel.on_tpu()))
+                       and place_kernel.on_tpu()),
+        rotate=options.budget_mode != "ordered")
     if options.budget_mode == "ordered":
         binning = _dense_add_cum(binning, k, options.use_pallas)
 
@@ -536,7 +550,7 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
     binning = dense_ops.bin_to_planes(
         pos, inv_mass, radius, batch_slot, act, cell_size,
         grid_dim=g, slots_per_cell=k, aux_cols=aux_cols,
-        use_placement=use_placement)
+        use_placement=use_placement, rotate=not ordered)
     if ordered:
         binning = _dense_add_cum(binning, k, options.use_pallas)
     planes, aux = binning.planes, binning.aux
@@ -610,7 +624,9 @@ def _plane_drift_over(planes, ref_xy, g: int, thresh2):
     Uniform translation shifts every torus cell equally, so only
     differential motion can invalidate the 3x3 pair windows."""
     rp = dense_ops.ROW_PAD
-    occ = planes[dense_ops.FIELD_OCC, rp:rp + g]
+    # FIELD_OCC holds cell COUNTS on product paths — normalize to 0/1 so
+    # the drift metric weights slots, not occupancies
+    occ = jnp.minimum(planes[dense_ops.FIELD_OCC, rp:rp + g], 1.0)
     n_occ = jnp.maximum(jnp.sum(occ), 1.0)
     dxp = (planes[dense_ops.FIELD_X, rp:rp + g] - ref_xy[0, rp:rp + g]) * occ
     dyp = (planes[dense_ops.FIELD_Y, rp:rp + g] - ref_xy[1, rp:rp + g]) * occ
@@ -671,7 +687,7 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
     # stateless callers (step/step_once) reset the state every step, and
     # sustained violence is visible in the incoming velocity field (only a
     # cold spawn explosion's first substep escapes both detectors)
-    occ = planes[dense_ops.FIELD_OCC, rp:rp + g]
+    occ = jnp.minimum(planes[dense_ops.FIELD_OCC, rp:rp + g], 1.0)
     n_occ = jnp.maximum(jnp.sum(occ), 1.0)
     pdx = aux[AUX_VX, rp:rp + g] * occ * sub_dt
     pdy = aux[AUX_VY, rp:rp + g] * occ * sub_dt
@@ -798,7 +814,7 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
             binning = dense_ops.bin_to_planes(
                 p, inv_mass, radius, batch_slot, act, cell_size,
                 grid_dim=g, slots_per_cell=k, aux_cols=aux_cols,
-                use_placement=use_placement)
+                use_placement=use_placement, rotate=not ordered)
             if ordered:
                 binning = _dense_add_cum(binning, k, options.use_pallas)
             return binning.planes, binning.aux, binning.slot
@@ -880,7 +896,7 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
         binning = dense_ops.bin_to_planes(
             p, inv_mass, radius, batch_slot, act, cell_size,
             grid_dim=g, slots_per_cell=k, aux_cols=aux_cols,
-            use_placement=use_placement)
+            use_placement=use_placement, rotate=True)
         ref_xy = binning.planes[:2]
         return binning.planes, binning.aux, binning.slot, ref_xy
 
@@ -911,8 +927,9 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
         # (torus cells are translation-covariant). Only differential motion
         # can invalidate pair sets.
         rp = dense_ops.ROW_PAD
-        occ = planes[dense_ops.FIELD_OCC, rp:rp + g]    # real rows only: halo
-        n_occ = jnp.maximum(jnp.sum(occ), 1.0)          # rows duplicate edge
+        occ = jnp.minimum(                              # counts -> 0/1
+            planes[dense_ops.FIELD_OCC, rp:rp + g], 1.0)  # real rows only:
+        n_occ = jnp.maximum(jnp.sum(occ), 1.0)          # halo dups edge rows
         dxp = (planes[dense_ops.FIELD_X, rp:rp + g] - ref_xy[0, rp:rp + g]) * occ
         dyp = (planes[dense_ops.FIELD_Y, rp:rp + g] - ref_xy[1, rp:rp + g]) * occ
         mx = jnp.sum(dxp) / n_occ
@@ -1217,7 +1234,7 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         binning = dense_ops.bin_to_planes(
             p, pp["inv_mass"], pp["radius"], pp["batch_slot"], pp["act"],
             pp["cell_size"], grid_dim=pp["g"], slots_per_cell=pp["k"],
-            aux_cols=aux_cols, use_placement=use_placement)
+            aux_cols=aux_cols, use_placement=use_placement, rotate=True)
         return binning.planes, binning.aux, binning.slot, binning.planes[:2]
 
     def merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp):

@@ -226,9 +226,24 @@ def _bin_local(pos, inv_mass, radius, batch_slot, active, cell_size,
     local_cell = jnp.where(in_win, ly * gx + lx, gb * gx)
 
     idx = jnp.arange(n, dtype=jnp.int32)
-    cid_sorted, pidx_sorted = jax.lax.sort_key_val(local_cell, idx)
-    from ..ops.grid import segmented_rank
-    rank = segmented_rank(cid_sorted)
+    # rotate slot winners across rebins by the SAME position-bit hash as the
+    # single-chip binning (ops/dense.bin_to_planes rotate=True — without it
+    # the lowest-index K members of an over-occupied cell win every rebin
+    # and the rest never collide). The hash is layout-independent, so winner
+    # sets — and the occupancy-pressure boost below — match the single-chip
+    # engine exactly; hash buckets MUST come from the GLOBAL grid_dim for
+    # the truncation to agree.
+    hb = dense_ops.rotate_hash_buckets(g)
+    xb = jax.lax.bitcast_convert_type(pos[:, 0], jnp.int32)
+    yb = jax.lax.bitcast_convert_type(pos[:, 1], jnp.int32)
+    h = xb * jnp.int32(-1640531535) + yb * jnp.int32(-2048144789)
+    h = jnp.bitwise_and(jnp.bitwise_xor(h, jnp.right_shift(h, 15)),
+                        jnp.int32(hb - 1))
+    key = local_cell * jnp.int32(hb) + h
+    key_sorted, pidx_sorted = jax.lax.sort_key_val(key, idx)
+    cid_sorted = key_sorted // jnp.int32(hb)
+    from ..ops.grid import segment_extent
+    rank, cnt_sorted = segment_extent(cid_sorted)
     ok = (rank < k) & (cid_sorted < gb * gx)
     row_s = cid_sorted // gx
     col_s = cid_sorted - row_s * gx
@@ -236,11 +251,15 @@ def _bin_local(pos, inv_mass, radius, batch_slot, active, cell_size,
     slot_sorted = jnp.where(
         ok, (row_s + RP) * width + lp + col_s * k + rank, rows * width)
     slot = jnp.zeros((n,), jnp.int32).at[pidx_sorted].set(slot_sorted)
+    # FIELD_OCC carries the cell's true occupancy for the sweep's
+    # occupancy-pressure boost (single-chip parity; ops/dense.py FIELD_OCC)
+    occ_col = jnp.zeros((n,), jnp.float32).at[pidx_sorted].set(
+        cnt_sorted.astype(jnp.float32))
 
     pack = jnp.stack([
         pos[:, 0], pos[:, 1], inv_mass, radius,
         batch_slot.astype(jnp.float32), jnp.zeros((n,), jnp.float32),
-        idx.astype(jnp.float32), jnp.where(active, 1.0, 0.0),
+        idx.astype(jnp.float32), jnp.where(active, occ_col, 0.0),
     ], axis=1)
     if aux_cols is not None:
         pack = jnp.concatenate([pack, aux_cols], axis=1)
@@ -417,7 +436,8 @@ def _plane_run_local(planes, aux, env, sub_dt, relaxation,
     def real(x):
         return x[RP:RP + gb, lp:lp + lb]
 
-    occ = real(planes[dense_ops.FIELD_OCC])
+    # FIELD_OCC holds cell COUNTS — normalize to 0/1 slot weights
+    occ = jnp.minimum(real(planes[dense_ops.FIELD_OCC]), 1.0)
     if n_live is None:
         n_live = jnp.maximum(_psum_sum(occ), 1.0)
     n_occ = jnp.maximum(_psum_sum(occ), 1.0)

@@ -69,3 +69,120 @@ def test_packed_scene_settles_without_collision_drops():
         # settled packing is ~2 particles per reference-sized cell; a stack
         # (pre-fix: O(100)+ in one cell) means particles are not colliding
         assert s["max_cell_occupancy"] <= 16, (name, s)
+
+
+# --------------------------------------------------- coincident stacks --
+
+def _coincident_handler(n=120, point=(80.0, 80.0)):
+    """n whites of one batch collapsed onto ONE point (the degenerate state
+    a saturated budget used to freeze in place), follow target at the same
+    point so nothing but collision can disperse it."""
+    import jax.numpy as jnp
+
+    from egg_fluid_simulation_tpu import SolverOptions
+
+    # options/capacity chosen to MATCH test_interpolation's handler so the
+    # in-process jit cache shares the dense-step compile across test files
+    h = SimulationHandler(default_white_config(), default_yolk_config(),
+                          capacity=512, max_batches=8,
+                          options=SolverOptions(
+                              adaptive_rebin=True,
+                              engine="dense", budget_mode="off",
+                              dense_rebin="step", dense_grid_dim=32,
+                              dense_slots=4, use_pallas=False))
+    a = h.add(point[0], point[1], 25.0, 8.0, None, None, n, 4)
+    h.set_target_position(a, *point)
+    st = h.state
+    p = jnp.asarray(point, jnp.float32)
+    stacked = jnp.where(st.active_mask()[:, :, None],
+                        jnp.broadcast_to(p, st.pos.shape), st.pos)
+    h._state = st.replace(pos=stacked, prev=stacked, last_pos=stacked,
+                          vel=jnp.zeros_like(st.vel))
+    h._frames = None
+    return h
+
+
+@pytest.mark.slow
+def test_coincident_stack_disperses():
+    """A fully coincident over-budget stack must dissolve: the tiebreak
+    direction (dense.TIE_X/TIE_Y) separates coincident pairs instead of the
+    reference's inert normalize(0,0) (math.lua; :1524), and slot-winner
+    rotation (bin_to_planes rotate=True) hands every member collision
+    pressure across rebins. Pre-fix this scene was a stable equilibrium:
+    zero pair force, identical winner set, max_cell_occupancy == n forever."""
+    h = _coincident_handler()
+    stats0 = collision_drop_stats(h)
+    assert stats0["white"]["max_cell_occupancy"] >= 100  # genuinely stacked
+    h.run_steps(48)
+    stats = collision_drop_stats(h)
+    # dispersed to honest occupancy: a settled packing holds ~2/cell; allow
+    # transient slack but the 100+ stack must be long gone
+    assert stats["white"]["max_cell_occupancy"] <= 12, stats["white"]
+    assert stats["white"]["drop_pct"] < 3.0, stats["white"]
+    pos = np.asarray(h.state.pos[0, :120])
+    d = np.linalg.norm(pos - np.asarray([[80.0, 80.0]]), axis=1)
+    # nobody is still sitting on the collapse point
+    assert np.sort(d)[4] > 1.0, np.sort(d)[:8]
+
+
+def test_coincident_pair_tiebreak_is_antisymmetric():
+    """Two coincident particles in one cell get equal-and-opposite nonzero
+    corrections along the oblique tie axis, in the jnp golden model and in
+    the Pallas kernel (interpret mode) identically."""
+    import jax.numpy as jnp
+
+    from egg_fluid_simulation_tpu.ops import dense as D
+    from egg_fluid_simulation_tpu.ops.pallas import sweep_kernel as K
+
+    g, k = 32, 4
+    pos = jnp.asarray([[40.0, 40.0], [40.0, 40.0]], jnp.float32)
+    inv_mass = jnp.asarray([1.0, 1.0], jnp.float32)
+    radius = jnp.asarray([4.0, 4.0], jnp.float32)
+    batch = jnp.zeros((2,), jnp.int32)
+    active = jnp.ones((2,), bool)
+    binning = D.bin_to_planes(pos, inv_mass, radius, batch, active,
+                              jnp.float32(8.0), grid_dim=g, slots_per_cell=k)
+    params = D.SweepParams(jnp.float32(10.0), jnp.float32(50.0),
+                           jnp.float32(2.0), jnp.float32(2.0),
+                           jnp.float32(1e9))
+    ref = np.asarray(D.sweep_planes_jnp(binning.planes, params, k,
+                                        False, False))
+    got = np.asarray(K._sweep_pallas(binning.planes, params.pack(), k,
+                                     False, False, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    slots = np.asarray(binning.slot)
+    c = ref.reshape(2, -1)[:, slots]                   # (xy, particle)
+    # nonzero, equal and opposite, along the tie axis
+    assert np.abs(c).min() > 0.1
+    np.testing.assert_allclose(c[:, 0], -c[:, 1], rtol=1e-5)
+    np.testing.assert_allclose(c[1] / c[0], D.TIE_Y / D.TIE_X, rtol=1e-4)
+
+
+def test_rotation_places_min_of_count_and_slots():
+    """rotate=True still places exactly min(c, K) members per cell (honest
+    cells are unaffected by rotation; over-budget cells place K)."""
+    import jax.numpy as jnp
+
+    from egg_fluid_simulation_tpu.ops import dense as D
+
+    g, k = 32, 4
+    rng = np.random.default_rng(7)
+    # 40 particles in one cell + 30 spread out
+    pos = np.concatenate([
+        np.full((40, 2), 100.0) + rng.uniform(-2, 2, (40, 2)),
+        rng.uniform(0, 200, (30, 2))]).astype(np.float32)
+    n = pos.shape[0]
+    binning = D.bin_to_planes(
+        jnp.asarray(pos), jnp.ones((n,), jnp.float32),
+        jnp.full((n,), 4.0), jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), bool), jnp.float32(8.0),
+        grid_dim=g, slots_per_cell=k, rotate=True)
+    slots = np.asarray(binning.slot)
+    placed = slots < g * g * k
+    cells = (np.floor(pos / 8.0).astype(int) % g)
+    cid = cells[:, 1] * g + cells[:, 0]
+    for c in np.unique(cid):
+        m = cid == c
+        assert placed[m].sum() == min(m.sum(), k)
+    # placed slots are unique (a valid injective placement)
+    assert len(np.unique(slots[placed])) == placed.sum()
