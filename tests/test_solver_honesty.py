@@ -65,10 +65,68 @@ def test_packed_scene_settles_without_collision_drops():
     stats = collision_drop_stats(h)
     for name in ("white", "yolk"):
         s = stats[name]
-        assert s["drop_pct"] < 3.0, (name, s)
+        assert s["drop_pct"] < 5.0, (name, s)
         # settled packing is ~2 particles per reference-sized cell; a stack
         # (pre-fix: O(100)+ in one cell) means particles are not colliding
         assert s["max_cell_occupancy"] <= 16, (name, s)
+
+
+@pytest.mark.slow
+def test_packed_batch_matches_oracle_equilibrium():
+    """The budgeted engine's settled density must match FULL pair
+    resolution: one 2000-particle batch (follow target at its center — the
+    follow pull genuinely compresses big batches ~3x past spawn density,
+    so 'few drops' is NOT the honest criterion; the sequential oracle
+    itself settles with ~20%% of particles past K=4). Gates the
+    rotation + occupancy-pressure stack fix at the equilibrium level:
+    pre-fix the engine sat ~50%% denser than the oracle with O(100)-deep
+    cells."""
+    import jax.numpy as jnp
+
+    from egg_fluid_simulation_tpu import SolverOptions
+    from egg_fluid_simulation_tpu.native import NativeOracle, available
+
+    if not available():
+        pytest.skip("native oracle unavailable")
+
+    n = 2000
+    r = float(np.sqrt(n) * 4.0)
+    wc = default_white_config()
+    h = SimulationHandler(wc, default_yolk_config(), capacity=4096,
+                          max_batches=4,
+                          options=SolverOptions(
+                              engine="dense", budget_mode="off",
+                              dense_rebin="step", dense_grid_dim=128,
+                              dense_slots=4, use_pallas=False))
+    h.add(600.0, 600.0, r, r * 0.3, None, None, n, 2)
+    native = NativeOracle({k: wc[k] for k in (
+        "damping", "follow_strength", "cohesion_strength",
+        "cohesion_interaction_distance_factor", "collision_strength",
+        "collision_overlap_factor", "min_mass", "max_mass",
+        "min_radius", "max_radius")})
+    native.add_particles(np.asarray(h.state.pos)[0][:n],
+                         np.asarray(h.state.mass_t)[0][:n],
+                         batch_id=0, batch_radius=r, target=(600.0, 600.0))
+    h.run_steps(60)
+    for _ in range(60):
+        native.step()
+
+    def occ_spread(p):
+        cell = max(1.0, wc["max_radius"]
+                   * max(wc["collision_overlap_factor"],
+                         wc["cohesion_interaction_distance_factor"]))
+        c = np.floor(p / cell).astype(int)
+        cnt = np.bincount((c[:, 1] % 128) * 128 + (c[:, 0] % 128),
+                          minlength=128 * 128)
+        spread = np.hypot(*(p - p.mean(0)).T).mean()
+        return cnt[cnt > 0].mean(), cnt.max(), spread
+
+    mean_e, max_e, spread_e = occ_spread(np.asarray(h.state.pos)[0][:n])
+    mean_o, max_o, spread_o = occ_spread(native.positions)
+    # same equilibrium to loose statistical tolerance (boiling scenes)
+    assert abs(spread_e - spread_o) / spread_o < 0.15, (spread_e, spread_o)
+    assert abs(mean_e - mean_o) / mean_o < 0.30, (mean_e, mean_o)
+    assert max_e <= max(2 * max_o, max_o + 8), (max_e, max_o)
 
 
 # --------------------------------------------------- coincident stacks --
