@@ -164,7 +164,7 @@ def step_render_ms(h, chain: int, n_trials: int) -> float:
     _, _, overflows = render_ops._render_frame(
         h.state, h.stats, cfg2, jnp.float32(1.0), thr, smooth, origin,
         opts2, use_lighting, vw, vh, pop_caps=options.pop_caps)
-    n_dropped = int(np.asarray(overflows).sum())
+    n_dropped = int(np.asarray(overflows)[:, 0].sum())
     assert n_dropped == 0, (
         f"render budget overflow in the headline frame: {n_dropped} "
         f"particles dropped — auto-bump failed to settle")

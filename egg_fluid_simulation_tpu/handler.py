@@ -545,7 +545,7 @@ class SimulationHandler:
 
     # --------------------------------------------------------------- render --
 
-    def draw(self, viewport=None, background=None, check_overflow=False):
+    def draw(self, viewport=None, background=None, check_overflow=True):
         """Render all batches to an RGBA image (reference ``draw`` :159-162).
 
         Returns an (H, W, 4) float32 array. ``viewport`` is ``(x, y, w, h)`` in
@@ -554,17 +554,18 @@ class SimulationHandler:
         dirty flag (:1996-1999). Canvases are sized per population to the
         particle AABB (static buckets, 2560 clamp — reference :1944-1954)
         unless the handler was constructed with a fixed ``canvas_size``.
-        ``check_overflow=True`` warns when the per-bin render budget dropped
-        particles (costs one device sync).
+        ``check_overflow`` (default ON) audits the per-bin render budget and
+        auto-bumps it until the frame drops zero particles — the reference
+        drops nothing inside its canvas (:2054-2064); see ops/render.draw.
         """
         from .ops import render as render_ops
         key = (tuple(viewport) if viewport is not None else None,
                tuple(background) if background is not None else None,
-               self._interpolation_alpha)
-        # check_overflow must bypass the cache: the overflow warning is a
-        # side effect of the render, not part of the cached frame
-        if (self._frames is not None and self._frame_key == key
-                and not check_overflow):
+               self._interpolation_alpha, bool(check_overflow))
+        # a cached frame produced with checking on has already been audited;
+        # an explicit check_overflow=True after an UNchecked cached frame
+        # must not silently reuse it (the key includes the flag)
+        if self._frames is not None and self._frame_key == key:
             return self._frames
         frame = render_ops.draw(self, viewport=viewport, background=background,
                                 check_overflow=check_overflow)

@@ -257,10 +257,11 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     tile's candidates are the bins within a static neighborhood — see
     :func:`_tile_bins`. The bin grid EXTENDS one ring of ``_ring_depth``
     bins beyond every canvas edge so near-edge exterior particles bin at
-    scene density. Returns ``(table, n_overflow)``: a
+    scene density. Returns ``(table, audit)``: a
     ``(n_bins + 1, tile_capacity)`` index table (-1 empty; last row holds
-    beyond-reach particles, never read) and the count of canvas-reaching
-    particles dropped past the per-bin budget.
+    beyond-reach particles, never read) and an i32 ``[n_overflow, max_count]``
+    pair — canvas-reaching particles dropped past the per-bin budget, and
+    the peak bin occupancy (draw()'s one-shot budget bump sizes k from it).
     """
     s, bh, bw, e = opts.eff_size, opts.bin_h, opts.bin_w, opts.max_splat_px
     ry, rx = _ring_depth(opts)
@@ -300,6 +301,7 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
          jnp.cumsum(all_counts)])[:-1].astype(jnp.int32)     # (n_bins+1,)
     counts = all_counts.astype(jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts[:n_bins] - k, 0))
+    maxcnt = jnp.max(counts[:n_bins])
     pos_in = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
     valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
     # row n_bins backs out-of-canvas window positions and must stay empty
@@ -307,7 +309,7 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
                      < n_bins)[:, None]
     table = jnp.where(valid,
                       pidx_sorted[jnp.minimum(pos_in, n - 1)], -1)
-    return table, overflow
+    return table, jnp.stack([overflow, maxcnt])
 
 
 def _tile_bins(opts: RenderOptions):
@@ -366,7 +368,7 @@ def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
     base_scale = radius * texture_scale / ds
     smear = 1.0 + speed * motion_blur                        # instanced_draw.glsl:25
 
-    table, overflow = _bin_particles(p_canvas, active, opts)  # (n_bins+1, K)
+    table, audit = _bin_particles(p_canvas, active, opts)  # (n_bins+1, K)
 
     a_p = jnp.where(active, color[:, 3], 0.0)
     inv_sx = 1.0 / jnp.maximum(base_scale * smear, EPS)      # stretched axis
@@ -379,7 +381,7 @@ def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
     occupied = table >= 0
     payload = pack[jnp.maximum(table, 0)]                    # (n_bins+1, K, F)
     payload = jnp.where(occupied[..., None], payload, 0.0)   # ap=0, extent=0
-    return payload, overflow
+    return payload, audit
 
 
 def _splat_alpha_kernel(payload, nb, opts: RenderOptions,
@@ -425,7 +427,7 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     k = opts.tile_capacity
     use_rgb = opts.use_particle_color
 
-    payload, overflow = _splat_payload(
+    payload, audit = _splat_payload(
         pos, last_pos, vel, radius, color, active, canvas_center,
         interpolation_alpha, texture_scale, motion_blur, opts)
     n_f = payload.shape[-1]
@@ -442,7 +444,7 @@ def splat_population(pos, last_pos, vel, radius, color, active,
         alpha = _splat_alpha_kernel(payload, nb, opts)
         if opts.downsample > 1 and upsample:
             alpha, _ = upsample_splat(alpha, None, opts)
-        return alpha, None, overflow
+        return alpha, None, audit
 
     py_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
     px_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5
@@ -516,7 +518,7 @@ def splat_population(pos, last_pos, vel, radius, color, active,
         rgb = tiles_rgb.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4).reshape(s, s, 3)
     if opts.downsample > 1 and upsample:
         alpha, rgb = upsample_splat(alpha, rgb, opts)
-    return alpha, rgb, overflow
+    return alpha, rgb, audit
 
 
 def upsample_splat(alpha, rgb, opts: RenderOptions):
@@ -710,7 +712,7 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
         cap = state.capacity if pop_caps is None else min(pop_caps[i],
                                                           state.capacity)
         cfg = jax.tree.map(lambda a: a[i], cfg2)
-        alpha, rgb, overflow = splat_population(
+        alpha, rgb, audit = splat_population(
             state.pos[i, :cap], state.last_pos[i, :cap], state.vel[i, :cap],
             state.radius[i, :cap], state.color[i, :cap], active[i, :cap],
             centers[i], interpolation_alpha,
@@ -745,16 +747,16 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
                 rgba = rgba.reshape(s, scale, s, scale, 4).mean(axis=(1, 3))
         if opts.downsample > 1:
             alpha = jax.image.resize(alpha, (s, s), "linear")
-        return rgba, alpha, overflow
+        return rgba, alpha, audit
 
     screen_rgb = jnp.zeros((vh, vw, 3), jnp.float32)
     screen_a = jnp.zeros((vh, vw), jnp.float32)
     canvases = []
     overflows = []
     for i in (0, 1):  # white first, then yolk (:2163-2171)
-        rgba, raw_alpha, overflow = pop_canvas(i, opts2[i])
+        rgba, raw_alpha, audit = pop_canvas(i, opts2[i])
         canvases.append(raw_alpha)
-        overflows.append(overflow)
+        overflows.append(audit)
         # canvas top-left in viewport pixels (reference :2132-2133); the
         # fractional part is resolved by a 4-tap bilinear shift of the
         # canvas, matching the reference's bilinear canvas resample.
@@ -839,13 +841,17 @@ def frame_options(handler) -> Tuple[RenderOptions, RenderOptions]:
     return tuple(opts)
 
 
-def draw(handler, viewport=None, background=None, check_overflow=False):
+def draw(handler, viewport=None, background=None, check_overflow=True):
     """Render the handler's current state to an (H, W, 4) straight-alpha image.
 
     ``viewport=(x, y, w, h)`` in world pixels. ``background`` optionally an
-    (r, g, b, a) tuple composited under everything. ``check_overflow=True``
-    forces a host read of the per-bin render-budget overflow counters and
-    warns when particles were dropped (costs one device sync).
+    (r, g, b, a) tuple composited under everything. ``check_overflow``
+    (default ON — the reference drops nothing inside its canvas, :2054-2064)
+    reads the per-bin render-budget overflow counters, warns, and re-renders
+    with a boosted budget until the frame drops nothing; the boost persists
+    on the handler. Costs one scalar device sync per fresh frame; pass
+    ``False`` only for throwaway frames where a transient budget drop is
+    acceptable.
     """
     if viewport is None:
         viewport = (0.0, 0.0, 800, 600)
@@ -864,26 +870,32 @@ def draw(handler, viewport=None, background=None, check_overflow=False):
         pop_caps=handler._options.pop_caps)
     handler._canvases = canvases
     if check_overflow:
-        # auto-bump: double the per-bin budget of any overflowing population
-        # and re-render until the frame drops nothing (the reference drops
-        # nothing inside its canvas, :2054-2064); the boost persists on the
-        # handler so subsequent frames start honest. 6 doublings span the
-        # full k range (floor 8 -> cap 256).
-        for _ in range(6):
-            counts = np.asarray(overflows)
-            if counts.sum() == 0:
+        # auto-bump: size the per-bin budget of any overflowing population
+        # directly from the MEASURED max bin occupancy (the binning counts
+        # it as a byproduct) and re-render until the frame drops nothing
+        # (the reference drops nothing inside its canvas, :2054-2064); the
+        # boost persists on the handler so subsequent frames start honest.
+        # One shot normally settles; the loop guards state races and the
+        # k = 256 cap (dropping past a saturated cap warns every pass).
+        for _ in range(3):
+            audits = np.asarray(overflows)                # (pop, [drops, max])
+            if audits[:, 0].sum() == 0:
                 break
             from ..utils import log
             boosts = list(getattr(handler, "_render_k_boost", [1.0, 1.0]))
             for i in range(2):
-                # 32x covers the full span from the floor k=8 to the cap 256
-                if counts[i] > 0 and boosts[i] < 32.0:
-                    boosts[i] *= 2.0
+                if audits[i, 0] > 0:
+                    # 20% headroom over the measured peak, snapped up to the
+                    # table granularity; expressed as a multiplier on the
+                    # current k so frame_options reproduces it
+                    need = min(256, max(8, -(-int(audits[i, 1] * 1.2) // 8) * 8))
+                    boosts[i] *= max(1.0, need / opts2[i].tile_capacity)
             handler._render_k_boost = boosts
-            log.warning("render budget overflow: dropped ", int(counts[0]),
-                        " white / ", int(counts[1]), " yolk particles past "
-                        "tile_capacity; re-rendering with boosted budget ",
-                        tuple(boosts))
+            log.warning("render budget overflow: dropped ", int(audits[0, 0]),
+                        " white / ", int(audits[1, 0]), " yolk particles "
+                        "past tile_capacity (peak bin occupancy ",
+                        (int(audits[0, 1]), int(audits[1, 1])),
+                        "); re-rendering with budget boost ", tuple(boosts))
             opts2 = frame_options(handler)
             frame, canvases, overflows = _render_frame(
                 handler.state, handler.stats, cfg2,

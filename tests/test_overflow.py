@@ -48,7 +48,7 @@ def test_clustered_scene_overflows_then_autobumps():
         jnp.float32(0.01), origin, opts2, True, 256, 256,
         pop_caps=h._options.pop_caps)
     # the density-derived budget must be overwhelmed by the cluster
-    assert int(np.asarray(overflows).sum()) > 0, (
+    assert int(np.asarray(overflows)[:, 0].sum()) > 0, (
         "expected overflow in the clustered-in-big-AABB scene; "
         f"opts k = {[o.tile_capacity for o in opts2]}")
 
@@ -62,7 +62,7 @@ def test_clustered_scene_overflows_then_autobumps():
         h.state, h.stats, cfg2, jnp.float32(1.0), jnp.float32(0.3),
         jnp.float32(0.01), origin, opts2b, True, 256, 256,
         pop_caps=h._options.pop_caps)
-    assert int(np.asarray(overflows_b).sum()) == 0
+    assert int(np.asarray(overflows_b)[:, 0].sum()) == 0
 
 
 def test_clamped_canvas_edge_contributions_match_unclamped():
@@ -96,8 +96,8 @@ def test_clamped_canvas_edge_contributions_match_unclamped():
             jnp.float32(4.0), jnp.float32(0.0))
     small, _, ov_small = render_ops.splat_population(*args, opts_for(256), **kw)
     big, _, ov_big = render_ops.splat_population(*args, opts_for(512), **kw)
-    assert int(ov_small) == 0, "exterior ring must absorb near-edge particles"
-    assert int(ov_big) == 0
+    assert int(ov_small[0]) == 0, "exterior ring must absorb near-edge particles"
+    assert int(ov_big[0]) == 0
     # canvas origins are center - S/2: the small canvas sits at offset
     # (512-256)/2 = 128 inside the big one
     np.testing.assert_allclose(np.asarray(small),
