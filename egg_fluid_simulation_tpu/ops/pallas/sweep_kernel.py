@@ -336,9 +336,19 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
             tx = tx - ux * (scale_s * boost_s)
             ty = ty - uy * (scale_s * boost_s)
             # other side: opposite direction, own inverse-mass share; lands
-            # at (row + dy, lane - d) — row shift now, lane roll once per d
-            odx = odx.at[dy:dy + rows].add(ux * (scale_o * boost_o))
-            ody = ody.at[dy:dy + rows].add(uy * (scale_o * boost_o))
+            # at (row + dy, lane - d) — row shift now, lane roll once per d.
+            # Zero-padded concat instead of .at[dy:dy+rows].add: Mosaic has
+            # no scatter-add lowering, and the static row shift is just an
+            # aligned add.
+            vx = ux * (scale_o * boost_o)
+            vy = uy * (scale_o * boost_o)
+            if dy or w - dy:
+                ztop = jnp.zeros((dy, lanes), vx.dtype)
+                zbot = jnp.zeros((w - dy, lanes), vx.dtype)
+                vx = jnp.concatenate([ztop, vx, zbot], axis=0)
+                vy = jnp.concatenate([ztop, vy, zbot], axis=0)
+            odx = odx + vx
+            ody = ody + vy
         oxa = oxa + _roll(odx, -d)
         oya = oya + _roll(ody, -d)
 

@@ -108,7 +108,7 @@ def main():
         def binning(c, _o=o, pos=pos, act=act, i=i):
             p_canvas = (pos + c * 0 - (cents[i] - 0.5 * _o.canvas_size)) / _o.downsample
             table, ov = render_ops._bin_particles(p_canvas, act, _o)
-            return jnp.sum(table) * 1e-9 + ov.astype(jnp.float32) * 0
+            return jnp.sum(table) * 1e-9 + jnp.sum(ov.astype(jnp.float32)) * 0
 
         res[f"render_bin_{i}_ms"] = round(chain_ms(binning, jnp.float32(0.0)), 3)
 
@@ -204,6 +204,19 @@ def main():
 
     res["bin_ms"] = round(chain_ms(binning_piece, jnp.float32(0.0)), 3)
 
+    def binning_rot_piece(c):
+        aux_cols = jnp.stack([pos[:, 0] + c * 0, pos[:, 1], vel[:, 0],
+                              vel[:, 1], pos[:, 0], pos[:, 1],
+                              jnp.zeros_like(pos[:, 0])], axis=1)
+        b = dense_ops.bin_to_planes(pos + c * 0, inv_mass, radius, batch,
+                                    act0, cell_size, grid_dim=g,
+                                    slots_per_cell=k, aux_cols=aux_cols,
+                                    use_placement=place_kernel.on_tpu(),
+                                    rotate=True)
+        return jnp.sum(b.planes) * 1e-9 + jnp.sum(b.slot) * 1e-12
+
+    res["bin_rot_ms"] = round(chain_ms(binning_rot_piece, jnp.float32(0.0)), 3)
+
     aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
                           pos[:, 0], pos[:, 1],
                           jnp.zeros_like(pos[:, 0])], axis=1)
@@ -223,7 +236,11 @@ def main():
             rp = dense_ops.ROW_PAD
             return pl.at[dense_ops.FIELD_X, rp:rp + g].add(corr[0] * 1e-6)
 
-        res[label] = round(chain_ms(sweep_piece, b.planes), 3)
+        try:
+            res[label] = round(chain_ms(sweep_piece, b.planes), 3)
+        except Exception as e:  # noqa: BLE001 — keep profiling other pieces
+            res[label] = f"FAILED: {type(e).__name__}"
+            print(f"{label} failed: {e}", flush=True)
 
     def extract_piece(c):
         p, pr, v, ing = solver_ops._plane_extract(
