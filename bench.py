@@ -43,6 +43,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np  # noqa: E402
 
+try:
+    # sitecustomize (axon plugin) imports jax before this script runs, so the
+    # env var alone never reaches the already-imported config — the persistent
+    # compile cache silently stays off unless set explicitly post-import.
+    import jax  # noqa: E402
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass
+
 
 def build_handler(n_target: int, canvas_size=None, spacing_factor: float = 2.2):
     """A physically-packed multi-batch scene totalling ~n_target white particles."""

@@ -21,5 +21,10 @@ try:  # the sitecustomize imported jax already; re-point its config at CPU
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # The env var above is read when jax first imports — which sitecustomize
+    # already did — so the persistent compile cache silently never engages
+    # unless the config is set explicitly post-import.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 except Exception:  # pragma: no cover - plugin internals shift between versions
     pass
