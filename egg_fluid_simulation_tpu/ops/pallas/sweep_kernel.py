@@ -343,10 +343,19 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
             vx = ux * (scale_o * boost_o)
             vy = uy * (scale_o * boost_o)
             if dy or w - dy:
-                ztop = jnp.zeros((dy, lanes), vx.dtype)
-                zbot = jnp.zeros((w - dy, lanes), vx.dtype)
-                vx = jnp.concatenate([ztop, vx, zbot], axis=0)
-                vy = jnp.concatenate([ztop, vy, zbot], axis=0)
+                # Mosaic rejects 0-sized vector operands: only concatenate
+                # the non-empty pads (dy=0 or dy=w legs of window>1 sweeps)
+                parts = []
+                if dy:
+                    parts.append(jnp.zeros((dy, lanes), vx.dtype))
+                vparts_x = parts + [vx]
+                vparts_y = parts + [vy]
+                if w - dy:
+                    zbot = jnp.zeros((w - dy, lanes), vx.dtype)
+                    vparts_x.append(zbot)
+                    vparts_y.append(zbot)
+                vx = jnp.concatenate(vparts_x, axis=0)
+                vy = jnp.concatenate(vparts_y, axis=0)
             odx = odx + vx
             ody = ody + vy
         oxa = oxa + _roll(odx, -d)

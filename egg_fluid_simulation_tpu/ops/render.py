@@ -119,7 +119,8 @@ def auto_render_options(config: dict, canvas_size: int,
                         use_particle_color: bool = False,
                         density: Optional[float] = None,
                         k_boost: float = 1.0,
-                        post_mode: str = "coarse") -> RenderOptions:
+                        post_mode: str = "coarse",
+                        peak_density: Optional[float] = None) -> RenderOptions:
     """Derive static render parameters from a (host) population config.
 
     - splat reach: ``max_radius * texture_scale`` quad half-extent, capped at
@@ -178,6 +179,13 @@ def auto_render_options(config: dict, canvas_size: int,
         # multiplies the whole eval cost, and overflow is counted with
         # handler-level auto-bump (k_boost) recovering any shortfall
         slack = 1.75
+    if peak_density is not None and peak_density > 0.0:
+        # MEASURED peak bin occupancy (normalized to particles per full-res
+        # px^2 over a bin-sized window) — the AABB mean-density estimate
+        # underestimates clustered scenes' peaks ~6x (VERDICT r3 #4); the
+        # peak needs only alignment headroom, not distribution headroom
+        d_eff = peak_density * (ds * ds)
+        slack = 1.3
     k = int(math.ceil(bin_h * bin_w * d_eff * slack / 8.0)) * 8
     # NOTE: a saturation-based cap (stop once blended alpha must saturate)
     # was tried and is NOT lossless — bin-level selection can keep only
@@ -834,9 +842,10 @@ def frame_options(handler) -> Tuple[RenderOptions, RenderOptions]:
                      * max(aabb_max[1] - aabb_min[1], 1.0))
         density = counts[i] / area if area > 1.0 else None
         boost = getattr(handler, "_render_k_boost", (1.0, 1.0))[i]
+        peak = getattr(handler, "_render_peak_density", (None, None))[i]
         opts.append(auto_render_options(
             cfg, bucket, use_particle_color=handler._use_particle_color,
-            density=density, k_boost=boost,
+            density=density, k_boost=boost, peak_density=peak,
             post_mode=getattr(handler, "_render_post_mode", "coarse")))
     return tuple(opts)
 
@@ -870,6 +879,17 @@ def draw(handler, viewport=None, background=None, check_overflow=True):
         pop_caps=handler._options.pop_caps)
     handler._canvases = canvases
     if check_overflow:
+        # persist the frame's MEASURED peak bin occupancy (normalized to a
+        # full-res px^2 density) as the next frame_options' budget hint, so
+        # k is sized from observation, not the AABB mean-density estimate
+        audits0 = np.asarray(overflows)
+        dens = list(getattr(handler, "_render_peak_density", [None, None]))
+        for i in range(2):
+            o = opts2[i]
+            m = int(audits0[i, 1])
+            if m > 0:
+                dens[i] = m / float(o.bin_h * o.bin_w * o.downsample ** 2)
+        handler._render_peak_density = dens
         # auto-bump: size the per-bin budget of any overflowing population
         # directly from the MEASURED max bin occupancy (the binning counts
         # it as a byproduct) and re-render until the frame drops nothing

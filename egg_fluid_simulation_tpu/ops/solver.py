@@ -677,6 +677,24 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
     across steps so violence detected at a step's end widens the next
     step's first substep too (see :func:`wide_state_init`).
     """
+    if options.wide_budget_substeps == 0:
+        # STATIC wide disable: no violence metrics, no lax.cond, and — the
+        # big one — no wide (window=3) Pallas kernel in the graph at all.
+        # The cond otherwise compiles BOTH branches per substep, roughly
+        # doubling the resident graph's cold-compile time (VERDICT r3 #1),
+        # and the fully-unrolled wide kernel is the slowest single compile.
+        # Calm scenes take the narrow path under the gate anyway, so a
+        # caller that knows its scene is settled loses nothing.
+        if wide is None:
+            wide = wide_state_init(options)
+        for _ in range(n_sub):
+            planes, aux = _plane_run(planes, aux, damp, follow_c, params,
+                                     sub_dt, relaxation, options, g, k, 1,
+                                     cohesion=cohesion, ordered=ordered,
+                                     wide=False)
+            fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
+        return planes, aux, fb_p, fb_prev, fb_v, wide
+
     thresh2 = (options.wide_threshold_cells * cell_size) ** 2
     wide_tol = options.wide_tolerance
     rearm = jnp.int32(options.wide_rearm_substeps)

@@ -11,19 +11,13 @@ import os
 import statistics
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-try:
-    # sitecustomize imports jax before this script, so the env var alone
-    # never reaches the config — set the cache dir explicitly post-import.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-except Exception:
-    pass
+from egg_fluid_simulation_tpu._compat import enable_compile_cache
+
+enable_compile_cache()
 
 from bench import build_handler
 from egg_fluid_simulation_tpu.ops import render as render_ops

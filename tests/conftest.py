@@ -15,16 +15,17 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
-
 try:  # the sitecustomize imported jax already; re-point its config at CPU
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # The env var above is read when jax first imports — which sitecustomize
-    # already did — so the persistent compile cache silently never engages
-    # unless the config is set explicitly post-import.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 except Exception:  # pragma: no cover - plugin internals shift between versions
-    pass
+    import sys
+
+    print("WARNING: could not pin jax to CPU for tests", file=sys.stderr)
+
+# Separate try (ADVICE r3): a platform-pin failure must not silently skip the
+# cache config; enable_compile_cache reports its own failures to stderr.
+from egg_fluid_simulation_tpu._compat import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

@@ -138,3 +138,27 @@ def test_multi_step_frames_matches_stepwise_rendering():
     pa = np.asarray(state.pos)[act]
     pb = np.asarray(sb.pos)[act]
     assert np.abs(pa.mean(0) - pb.mean(0)).max() < 0.5
+
+
+def test_static_wide_disable_matches_on_calm_scene():
+    """wide_budget_substeps=0 statically removes the violence machinery (no
+    lax.cond, no wide kernel in the graph — the bench relies on this for
+    cold-compile time); on a scene where the gate never fires the
+    trajectories must be bit-identical to the gated graph's narrow path."""
+    ha = _handler(adaptive=True)
+    hb = _handler(adaptive=True)
+    # settle past the spawn transient with IDENTICAL dynamics (gated graph)
+    ha.run_steps(30)
+    hb.run_steps(30)
+    np.testing.assert_array_equal(np.asarray(ha.state.pos),
+                                  np.asarray(hb.state.pos))
+    # from the settled state: gated vs statically-disabled wide machinery
+    hb._options = SolverOptions(adaptive_rebin=True, wide_budget_substeps=0,
+                                **BASE)
+    hb._wide_state = None
+    ha.run_steps(8)
+    hb.run_steps(8)
+    act = np.asarray(ha.state.active_mask())
+    pa = np.asarray(ha.state.pos)[act]
+    pb = np.asarray(hb.state.pos)[act]
+    np.testing.assert_array_equal(pa, pb)
