@@ -62,7 +62,7 @@ def _make_kernel(tg: int, th: int, tw: int, n_chunks: int, ntx: int,
     gauss = _GAUSS_COEFF          # python floats: jnp scalars would be
     icap = 1.0 / float(max_splat_px)  # captured tracer constants
 
-    def kernel(cand_ref, out_ref):
+    def kernel(trips_ref, cand_ref, out_ref):
         i = pl.program_id(0)
         # pixel centers of tile t (global tile id = i*tg + t), in effective
         # canvas pixels; iota is 2D-safe on Mosaic via broadcasted_iota
@@ -79,11 +79,9 @@ def _make_kernel(tg: int, th: int, tw: int, n_chunks: int, ntx: int,
             px = px_g + (tx * tw).astype(jnp.float32)        # (th, tw, 1)
             py = py_g + (ty * th).astype(jnp.float32)
 
-            acc = jnp.ones((th, tw, _CHUNK), jnp.float32)
-            for c in range(n_chunks):
+            def chunk_body(c, acc):
                 def f(j):                                     # (1, 1, CHUNK)
-                    return cand_ref[t, j, c * _CHUNK:(c + 1) * _CHUNK][
-                        None, None, :]
+                    return cand_ref[t, c, j, :][None, None, :]
 
                 pcx, pcy, ca, sa = f(0), f(1), f(2), f(3)
                 isx, isy, ap = f(6), f(7), f(8)
@@ -107,7 +105,15 @@ def _make_kernel(tg: int, th: int, tw: int, n_chunks: int, ntx: int,
                     jnp.maximum(jnp.abs(nx), jnp.abs(ny)),
                     icap * jnp.maximum(jnp.abs(dx), jnp.abs(dy)))
                 g = jnp.where(m <= 1.0, jnp.exp(-gauss * r2) * ap, 0.0)
-                acc = acc * (1.0 - g)                         # screen blend
+                return acc * (1.0 - g)                        # screen blend
+
+            # TRIP SKIP: candidates are slot-major (ops/render.py
+            # _splat_alpha_kernel), so every chunk past the tile's trip
+            # count holds only zero rows — the loop stops there instead of
+            # paying the peak-sized static budget for every tile
+            acc = jax.lax.fori_loop(
+                0, trips_ref[tid], chunk_body,
+                jnp.ones((th, tw, _CHUNK), jnp.float32))
             # one lane reduction per tile: product over the candidate axis
             # (pairwise halving — Mosaic has no reduce_prod primitive)
             w = _CHUNK
@@ -121,31 +127,34 @@ def _make_kernel(tg: int, th: int, tw: int, n_chunks: int, ntx: int,
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "ntx",
                                              "max_splat_px", "interpret"))
-def splat_tiles(cand: jnp.ndarray, th: int, tw: int, ntx: int,
-                max_splat_px: int, interpret: bool = False) -> jnp.ndarray:
+def splat_tiles(cand: jnp.ndarray, trips: jnp.ndarray, th: int, tw: int,
+                ntx: int, max_splat_px: int,
+                interpret: bool = False) -> jnp.ndarray:
     """(n_tiles, th, tw) accumulated splat alpha per evaluation tile.
 
-    ``cand``: (n_tiles, F, C) per-tile candidate payload, fields as in
-    splat_population's pack (C padded to a multiple of 128 with zeros —
-    zero extent admits no pixel). n_tiles must be a multiple of the tile
-    group when grouping applies.
+    ``cand``: (n_tiles, n_chunks, F, 128) per-tile candidate payload in
+    slot-major chunk layout, fields as in splat_population's pack (padded
+    with zeros — zero alpha contributes nothing). ``trips``: (n_tiles,) i32
+    chunks to actually evaluate per tile (the tail chunks are all-zero by
+    the slot-major layout).
     """
-    n_tiles, n_f, c_pad = cand.shape
+    n_tiles, n_chunks, n_f, c_chunk = cand.shape
     assert n_f == _N_F, (n_f, _N_F)
-    assert c_pad % _CHUNK == 0
+    assert c_chunk == _CHUNK
     tg = _TILE_GROUP
     while n_tiles % tg:
         tg //= 2
-    n_chunks = c_pad // _CHUNK
 
     kernel = _make_kernel(tg, th, tw, n_chunks, ntx, max_splat_px)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles // tg,),
-        in_specs=[pl.BlockSpec((tg, n_f, c_pad), lambda i: (i, 0, 0))],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((tg, n_chunks, n_f, _CHUNK),
+                               lambda i: (i, 0, 0, 0))],
         out_specs=pl.BlockSpec((tg, th, tw), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(cand)
+    )(trips, cand)

@@ -368,27 +368,51 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
 
 def _make_kernel(k: int, cohesion: bool, ordered_budget: bool, count_only: bool,
                  block_rows: int, window: int = 1, fresh_mask: bool = False):
-    def kernel(params_ref, planes_hbm, out_ref, scratch, sem):
+    def kernel(flags_ref, params_ref, planes_hbm, out_ref, scratch, sem):
         i = pl.program_id(0)
-        # rows [i*B, i*B + B + 2*ROW_PAD): 8-row aligned (Mosaic DMA tiling);
-        # self rows sit at scratch offset ROW_PAD
-        dma = pltpu.make_async_copy(
-            planes_hbm.at[:, pl.ds(i * block_rows, block_rows + 2 * D.ROW_PAD), :],
-            scratch, sem)
-        dma.start()
-        dma.wait()
-        block = scratch[:]
-        params = tuple(params_ref[j] for j in range(8))
-        out = _pair_terms(block, D.ROW_PAD, block_rows, k, params,
-                          cohesion, ordered_budget, count_only,
-                          window=window, fresh_mask=fresh_mask)
-        if count_only:
-            out_ref[:] = out
-        else:
-            out_ref[0] = out[0]
-            out_ref[1] = out[1]
+
+        # OCCUPANCY SKIP: a block whose self rows hold no occupied slot
+        # produces identically-zero corrections (pairs need both sides
+        # occupied; corrections land on occupied self slots only) — settle
+        # scenes fill a band of the torus, so empty blocks skip the whole
+        # planes DMA + pair math and pay one VMEM zero + writeback.
+        @pl.when(flags_ref[i] == 0)
+        def _skip():
+            if count_only:
+                out_ref[:] = jnp.zeros_like(out_ref)
+            else:
+                out_ref[0] = jnp.zeros_like(out_ref[0])
+                out_ref[1] = jnp.zeros_like(out_ref[1])
+
+        @pl.when(flags_ref[i] != 0)
+        def _run():
+            # rows [i*B, i*B + B + 2*ROW_PAD): 8-row aligned (Mosaic DMA
+            # tiling); self rows sit at scratch offset ROW_PAD
+            dma = pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(i * block_rows,
+                                       block_rows + 2 * D.ROW_PAD), :],
+                scratch, sem)
+            dma.start()
+            dma.wait()
+            block = scratch[:]
+            params = tuple(params_ref[j] for j in range(8))
+            out = _pair_terms(block, D.ROW_PAD, block_rows, k, params,
+                              cohesion, ordered_budget, count_only,
+                              window=window, fresh_mask=fresh_mask)
+            if count_only:
+                out_ref[:] = out
+            else:
+                out_ref[0] = out[0]
+                out_ref[1] = out[1]
 
     return kernel
+
+
+def _block_flags(planes, g: int, b: int) -> jnp.ndarray:
+    """(g // b,) i32 — 1 where the block's self rows hold any occupied slot."""
+    occ = planes[D.FIELD_OCC, D.ROW_PAD:D.ROW_PAD + g]
+    any_occ = jnp.max(occ.reshape(g // b, -1), axis=1)
+    return (any_occ > 0.0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -409,6 +433,7 @@ def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
         grid=(g // b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((2, b, lanes), lambda i: (0, i, 0),
@@ -421,31 +446,42 @@ def _sweep_pallas(planes, params_packed, k: int, cohesion: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params_packed, planes)
+    )(_block_flags(planes, g, b), params_packed, planes)
 
 
 def _make_kernel_sym(k: int, cohesion: bool, ordered_budget: bool,
                      block_rows: int, window: int = 1,
                      fresh_mask: bool = False):
-    def kernel(params_ref, planes_hbm, out_ref, scratch, sem):
+    def kernel(flags_ref, params_ref, planes_hbm, out_ref, scratch, sem):
         i = pl.program_id(0)
-        dma = pltpu.make_async_copy(
-            planes_hbm.at[:, pl.ds(i * block_rows, block_rows + 2 * D.ROW_PAD), :],
-            scratch, sem)
-        dma.start()
-        dma.wait()
-        block = scratch[:]
-        params = tuple(params_ref[j] for j in range(8))
-        out_x, out_y = _pair_terms_sym(block, D.ROW_PAD, block_rows, k, params,
-                                       cohesion, ordered_budget,
-                                       window=window, fresh_mask=fresh_mask)
-        pad = OUT_PAD - window
-        if pad:
-            z = jnp.zeros((pad, out_x.shape[-1]), out_x.dtype)
-            out_x = jnp.concatenate([out_x, z], axis=0)
-            out_y = jnp.concatenate([out_y, z], axis=0)
-        out_ref[0] = out_x
-        out_ref[1] = out_y
+
+        # occupancy skip (see _make_kernel): empty self rows admit no pairs,
+        # so the block's core AND its downward spill are identically zero
+        @pl.when(flags_ref[i] == 0)
+        def _skip():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+            out_ref[1] = jnp.zeros_like(out_ref[1])
+
+        @pl.when(flags_ref[i] != 0)
+        def _run():
+            dma = pltpu.make_async_copy(
+                planes_hbm.at[:, pl.ds(i * block_rows,
+                                       block_rows + 2 * D.ROW_PAD), :],
+                scratch, sem)
+            dma.start()
+            dma.wait()
+            block = scratch[:]
+            params = tuple(params_ref[j] for j in range(8))
+            out_x, out_y = _pair_terms_sym(block, D.ROW_PAD, block_rows, k,
+                                           params, cohesion, ordered_budget,
+                                           window=window, fresh_mask=fresh_mask)
+            pad = OUT_PAD - window
+            if pad:
+                z = jnp.zeros((pad, out_x.shape[-1]), out_x.dtype)
+                out_x = jnp.concatenate([out_x, z], axis=0)
+                out_y = jnp.concatenate([out_y, z], axis=0)
+            out_ref[0] = out_x
+            out_ref[1] = out_y
 
     return kernel
 
@@ -473,6 +509,7 @@ def _sweep_pallas_sym(planes, params_packed, k: int, cohesion: bool,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((2, b + OUT_PAD, lanes), lambda i: (0, i, 0),
@@ -486,7 +523,7 @@ def _sweep_pallas_sym(planes, params_packed, k: int, cohesion: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(params_packed, planes)
+    )(_block_flags(planes, g, b), params_packed, planes)
 
     blocks = raw.reshape(2, nb, b + OUT_PAD, lanes)
     core = blocks[:, :, :b]
@@ -511,6 +548,7 @@ def _count_pallas(planes, k: int, interpret: bool = False):
         grid=(g // b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((b, lanes), lambda i: (i, 0),
@@ -523,7 +561,7 @@ def _count_pallas(planes, k: int, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dummy, planes)
+    )(_block_flags(planes, g, b), dummy, planes)
 
 
 def _on_tpu() -> bool:

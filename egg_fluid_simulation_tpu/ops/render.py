@@ -317,7 +317,7 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
                      < n_bins)[:, None]
     table = jnp.where(valid,
                       pidx_sorted[jnp.minimum(pos_in, n - 1)], -1)
-    return table, jnp.stack([overflow, maxcnt])
+    return table, jnp.stack([overflow, maxcnt]), counts
 
 
 def _tile_bins(opts: RenderOptions):
@@ -376,7 +376,7 @@ def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
     base_scale = radius * texture_scale / ds
     smear = 1.0 + speed * motion_blur                        # instanced_draw.glsl:25
 
-    table, audit = _bin_particles(p_canvas, active, opts)  # (n_bins+1, K)
+    table, audit, counts = _bin_particles(p_canvas, active, opts)
 
     a_p = jnp.where(active, color[:, 3], 0.0)
     inv_sx = 1.0 / jnp.maximum(base_scale * smear, EPS)      # stretched axis
@@ -389,15 +389,26 @@ def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
     occupied = table >= 0
     payload = pack[jnp.maximum(table, 0)]                    # (n_bins+1, K, F)
     payload = jnp.where(occupied[..., None], payload, 0.0)   # ap=0, extent=0
-    return payload, audit
+    return payload, audit, counts
 
 
-def _splat_alpha_kernel(payload, nb, opts: RenderOptions,
+def _splat_alpha_kernel(payload, nb, opts: RenderOptions, counts=None,
                         interpret: bool = False):
     """(eff, eff) splat alpha via the Pallas tile kernel.
 
     ``payload``: (n_bins+1, K, F) bin-resident candidate table (F fields as
-    packed by splat_population); ``nb``: (n_tiles, W) window bin ids."""
+    packed by splat_population); ``nb``: (n_tiles, W) window bin ids;
+    ``counts``: optional (n_bins+1,) per-bin occupancy — enables the
+    kernel's per-tile trip skip (see below).
+
+    Candidates are laid out SLOT-major (candidate c = slot * W + bin): a
+    bin's live entries occupy its first ``count`` slots, so every candidate
+    past slot ``max(count over the window)`` is a zero row. With slot-major
+    chunks the kernel can stop after ``ceil(maxcnt * W / CHUNK)`` chunks per
+    tile — the per-bin budget k is sized for the PEAK bin, and the skew
+    between peak and typical occupancy (~5x on the 1M headline) otherwise
+    multiplies every tile's eval cost.
+    """
     s, th, tw = opts.eff_size, opts.tile_h, opts.tile_w
     nty, ntx = s // th, s // tw
     k = opts.tile_capacity
@@ -405,13 +416,24 @@ def _splat_alpha_kernel(payload, nb, opts: RenderOptions,
     n_tiles, w_bins = nb.shape
     n_cand = w_bins * k
     from .pallas import splat_kernel
-    c_pad = -(-n_cand // _SPLAT_CHUNK) * _SPLAT_CHUNK
+    n_chunks = -(-n_cand // _SPLAT_CHUNK)
+    c_pad = n_chunks * _SPLAT_CHUNK
     windows = payload.reshape(-1, k * n_f)[nb]               # (T, W, K*F)
-    cand = windows.reshape(n_tiles, n_cand, n_f).transpose(0, 2, 1)
+    cand = (windows.reshape(n_tiles, w_bins, k, n_f)
+            .transpose(0, 3, 2, 1)                           # (T, F, K, W)
+            .reshape(n_tiles, n_f, n_cand))
     if c_pad > n_cand:
         cand = jnp.pad(cand, ((0, 0), (0, 0), (0, c_pad - n_cand)))
-    tiles_a = splat_kernel.splat_tiles(cand, th, tw, ntx, opts.max_splat_px,
-                                       interpret=interpret)
+    cand = (cand.reshape(n_tiles, n_f, n_chunks, _SPLAT_CHUNK)
+            .transpose(0, 2, 1, 3))                          # (T, C#, F, 128)
+    if counts is not None:
+        maxcnt = jnp.max(jnp.minimum(counts[nb], k), axis=1)  # (T,)
+        trips = jnp.clip(-(-(maxcnt * w_bins) // _SPLAT_CHUNK),
+                         1, n_chunks).astype(jnp.int32)
+    else:
+        trips = jnp.full((n_tiles,), n_chunks, jnp.int32)
+    tiles_a = splat_kernel.splat_tiles(cand, trips, th, tw, ntx,
+                                       opts.max_splat_px, interpret=interpret)
     return (tiles_a.reshape(nty, ntx, th, tw)
             .transpose(0, 2, 1, 3).reshape(s, s))
 
@@ -435,7 +457,7 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     k = opts.tile_capacity
     use_rgb = opts.use_particle_color
 
-    payload, audit = _splat_payload(
+    payload, audit, counts = _splat_payload(
         pos, last_pos, vel, radius, color, active, canvas_center,
         interpolation_alpha, texture_scale, motion_blur, opts)
     n_f = payload.shape[-1]
@@ -449,7 +471,7 @@ def splat_population(pos, last_pos, vel, radius, color, active,
         # Pallas path: one VMEM-resident accumulation per tile (see
         # ops/pallas/splat_kernel.py). XLA's job is only the bandwidth-cheap
         # window gather + field transpose feeding it.
-        alpha = _splat_alpha_kernel(payload, nb, opts)
+        alpha = _splat_alpha_kernel(payload, nb, opts, counts=counts)
         if opts.downsample > 1 and upsample:
             alpha, _ = upsample_splat(alpha, None, opts)
         return alpha, None, audit

@@ -295,7 +295,13 @@ def test_pallas_splat_kernel_matches_scan_path():
 
     ref, _, _ = R.splat_population(*args, use_pallas=False)
 
-    payload, _ = R._splat_payload(*args)
+    payload, _, counts = R._splat_payload(*args)
     nb = R._tile_bins(opts)
     got = np.asarray(R._splat_alpha_kernel(payload, nb, opts, interpret=True))
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    # the slot-major trip skip must change nothing: the skipped tail chunks
+    # hold only zero rows
+    got_skip = np.asarray(R._splat_alpha_kernel(payload, nb, opts,
+                                                counts=counts, interpret=True))
+    np.testing.assert_array_equal(got_skip, got)
