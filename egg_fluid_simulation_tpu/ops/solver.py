@@ -175,6 +175,27 @@ class SolverOptions:
                                     # math to float rounding, ~half the pair
                                     # terms + per-block spill fold; see
                                     # sweep_kernel._pair_terms_sym)
+    stale_hash_compat: bool = False # reproduce the reference's stale
+                                    # pair-set quirk (SURVEY.md §5.2): the
+                                    # hash + examined-pair set are cleared at
+                                    # step start (:1375-1377) and between
+                                    # collision passes WITHIN a substep
+                                    # (:1905-1912, guarded by collision_i <
+                                    # n_collision_steps) but NOT between
+                                    # substeps — so substep >= 2's first
+                                    # pass skips every pair already adjacent
+                                    # in the previous substep's last pass.
+                                    # Under the dense engine's per-step
+                                    # binning, cell membership is frozen
+                                    # within a step, so that suppression is
+                                    # EXACTLY "substeps >= 2 run one fewer
+                                    # collision pass" (with dense_rebin=
+                                    # "substep" the engine rebins where the
+                                    # reference inserts into a dirty table:
+                                    # newly-adjacent pairs are then skipped
+                                    # too — documented deviation). Dense
+                                    # engine only. Default OFF: clean
+                                    # per-pass semantics.
 
     def __post_init__(self):
         assert self.table_size & (self.table_size - 1) == 0, "table_size must be a power of two"
@@ -182,6 +203,9 @@ class SolverOptions:
         assert self.budget_mode in ("ordered", "off")
         assert self.engine in ("gather", "dense")
         assert self.dense_rebin in ("step", "substep", "pass")
+        assert not (self.stale_hash_compat and self.engine != "dense"), (
+            "stale_hash_compat emulates the reference's substep-stale pair "
+            "set on the dense engine's frozen-membership passes")
         object.__setattr__(self, "dense_grid_dim", _per_pop(self.dense_grid_dim))
         object.__setattr__(self, "dense_slots", _per_pop(self.dense_slots))
         if self.pop_caps is not None:
@@ -526,7 +550,7 @@ def solve_pairs_dense(pos, inv_mass, radius, batch_slot, active,
 def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
                     tx, ty, td, damp, follow_c, cell_size, params,
                     sub_dt, relaxation, options: SolverOptions,
-                    g: int, k: int, n_sub: int):
+                    g: int, k: int, n_sub: int, first_substep: bool = True):
     """Run ``n_sub`` substeps entirely in plane layout after ONE binning.
 
     Returns (pos, prev, vel) for collision-participating particles plus the
@@ -557,17 +581,23 @@ def _plane_substeps(pos, vel, inv_mass, radius, batch_slot, act,
 
     planes, aux = _plane_run(planes, aux, damp, follow_c, params, sub_dt,
                              relaxation, options, g, k, n_sub,
-                             cohesion=cohesion, ordered=ordered)
+                             cohesion=cohesion, ordered=ordered,
+                             first_substep=first_substep)
     return _plane_extract(planes, aux, binning.slot, g, lanes, sub_dt=sub_dt)
 
 
 def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
                options: SolverOptions, g: int, k: int, n_sub: int,
-               *, cohesion: bool, ordered: bool, wide: bool = False):
+               *, cohesion: bool, ordered: bool, wide: bool = False,
+               first_substep: bool = True):
     """``n_sub`` substeps of the whole pipeline in plane layout (no binning,
     no extraction) — shared by the per-step path and the plane-resident
     fast-forward (:func:`_population_multi_dense`). ``wide`` selects the
-    violent-phase +-3-cell sweep with the fresh-cell pair mask."""
+    violent-phase +-3-cell sweep with the fresh-cell pair mask.
+    ``first_substep`` marks whether substep 0 of this call is the step's
+    first: with ``options.stale_hash_compat`` every NON-first substep runs
+    one fewer collision pass (the reference's substep-stale pair set,
+    SURVEY.md §5.2 / reference :1905-1912 — see SolverOptions)."""
     from .pallas import sweep_kernel
     rp = dense_ops.ROW_PAD
 
@@ -589,7 +619,7 @@ def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
         pl = pl.at[dense_ops.FIELD_Y, rp:rp + g].add(relaxation * corr[1])
         return dense_ops.refresh_halo_xy(pl)
 
-    for _ in range(n_sub):
+    for s in range(n_sub):
         # pre-solve (:1393-1432): damped integration; mass/radius already
         # derived once per step (deterministic re-derivation, :1420-1430)
         px, py = planes[dense_ops.FIELD_X], planes[dense_ops.FIELD_Y]
@@ -605,9 +635,13 @@ def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
                                aux[AUX_TX], aux[AUX_TY], aux[AUX_TD], follow_c)
         planes = (planes.at[dense_ops.FIELD_X].set(x + dx)
                         .at[dense_ops.FIELD_Y].set(y + dy))
-        # collision passes (:1866-1913)
-        planes = jax.lax.fori_loop(0, options.n_collision_steps,
-                                   collision_pass, planes)
+        # collision passes (:1866-1913); stale_hash_compat drops one pass
+        # on non-first substeps (the reference's substep-stale pair set
+        # suppresses every already-adjacent pair there, :1905-1912)
+        n_passes = options.n_collision_steps
+        if options.stale_hash_compat and not (first_substep and s == 0):
+            n_passes = max(n_passes - 1, 0)
+        planes = jax.lax.fori_loop(0, n_passes, collision_pass, planes)
         # post-solve velocity (:1690-1693)
         aux = (aux.at[AUX_VX].set((planes[dense_ops.FIELD_X] - aux[AUX_PX])
                                   / sub_dt)
@@ -687,11 +721,11 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
         # caller that knows its scene is settled loses nothing.
         if wide is None:
             wide = wide_state_init(options)
-        for _ in range(n_sub):
+        for s in range(n_sub):
             planes, aux = _plane_run(planes, aux, damp, follow_c, params,
                                      sub_dt, relaxation, options, g, k, 1,
                                      cohesion=cohesion, ordered=ordered,
-                                     wide=False)
+                                     wide=False, first_substep=(s == 0))
             fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
         return planes, aux, fb_p, fb_prev, fb_v, wide
 
@@ -721,12 +755,13 @@ def _adaptive_substep_run(planes, aux, fb_p, fb_prev, fb_v,
     for s in range(n_sub):
         wide_now = trip & (budget > 0)
 
-        def run(w):
+        def run(w, first=s == 0):
             def f(c):
                 pl, ax = c
                 return _plane_run(pl, ax, damp, follow_c, params, sub_dt,
                                   relaxation, options, g, k, 1,
-                                  cohesion=cohesion, ordered=ordered, wide=w)
+                                  cohesion=cohesion, ordered=ordered, wide=w,
+                                  first_substep=first)
             return f
 
         planes, aux = jax.lax.cond(wide_now, run(True), run(False),
@@ -859,7 +894,7 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
         p_pl, prev_pl, v_pl, in_grid = _plane_substeps(
             new_pos, new_vel, inv_mass, radius, batch_slot, act,
             tx, ty, td, damp, follow_c, cell_size, params,
-            sub_dt, relaxation, options, g, k, 1)
+            sub_dt, relaxation, options, g, k, 1, first_substep=(s0 == 0))
         fb_p, fb_prev, fb_v = fallback_substep(new_pos, new_vel)
         sel = (in_grid & act)[:, None]
         keep = act[:, None]

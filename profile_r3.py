@@ -38,20 +38,26 @@ def timed(fn, n_trials=3):
     return statistics.median(times)
 
 
-def chain_ms(make_step, init, chain=CHAIN, n_trials=3):
-    """Time `chain` dependence-chained applications of make_step in one jit."""
+def chain_ms(make_step, init, consts=(), chain=CHAIN, n_trials=3):
+    """Time `chain` dependence-chained applications of make_step in one jit.
+
+    ``consts``: large arrays the step reads but doesn't thread — passed as
+    REAL jit arguments, not closure captures: the axon tunnel serializes
+    closure constants into the compile request and rejects bodies past a
+    size limit (HTTP 413 at ~hundreds of MB).
+    """
     @jax.jit
-    def loop(x):
+    def loop(x, *cs):
         def body(c, _):
-            return make_step(c), None
+            return make_step(c, *cs), None
         out, _ = jax.lax.scan(body, x, None, length=chain)
         return out
 
-    out = loop(init)  # compile
+    out = loop(init, *consts)  # compile
     jax.device_get(jax.tree.leaves(out)[0].ravel()[0])
 
     def run():
-        r = loop(init)
+        r = loop(init, *consts)
         jax.device_get(jax.tree.leaves(r)[0].ravel()[0])
 
     return timed(run, n_trials) / chain
@@ -89,6 +95,16 @@ def main():
 
     # --- render pieces, per population ---
     res = {}
+
+    def measure(label, make_step, init, consts=()):
+        """One piece: time it, record it, PRINT it (a later piece failing
+        must not lose earlier evidence — round-4 lesson: the tunnel rejects
+        oversized compile requests with HTTP 413)."""
+        try:
+            res[label] = round(chain_ms(make_step, init, consts), 3)
+        except Exception as e:  # noqa: BLE001 — keep profiling other pieces
+            res[label] = f"FAILED: {type(e).__name__}"
+        print(json.dumps({label: res[label]}), flush=True)
     for i in range(2):
         o = opts2[i]
         cap = min(caps[i], state.capacity)
@@ -105,14 +121,14 @@ def main():
                 upsample=False)
             return jnp.sum(a) * 1e-9
 
-        res[f"splat_{i}_ms"] = round(chain_ms(splat, jnp.float32(0.0)), 3)
+        measure(f"splat_{i}_ms", splat, jnp.float32(0.0))
 
         def binning(c, _o=o, pos=pos, act=act, i=i):
             p_canvas = (pos + c * 0 - (cents[i] - 0.5 * _o.canvas_size)) / _o.downsample
-            table, ov = render_ops._bin_particles(p_canvas, act, _o)
+            table, ov, _cnt = render_ops._bin_particles(p_canvas, act, _o)
             return jnp.sum(table) * 1e-9 + jnp.sum(ov.astype(jnp.float32)) * 0
 
-        res[f"render_bin_{i}_ms"] = round(chain_ms(binning, jnp.float32(0.0)), 3)
+        measure(f"render_bin_{i}_ms", binning, jnp.float32(0.0))
 
         s = o.eff_size
         alpha0 = jnp.zeros((s, s), jnp.float32)
@@ -123,7 +139,7 @@ def main():
                 True, _o, px_scale=float(_o.downsample))
             return rgba[..., 3] * 1e-3
 
-        res[f"post_{i}_ms"] = round(chain_ms(post, alpha0), 3)
+        measure(f"post_{i}_ms", post, alpha0)
 
     # --- full frame ---
     thr = jnp.float32(0.3); smooth = jnp.float32(0.01)
@@ -138,7 +154,7 @@ def main():
             opts2, True, vw, vh, pop_caps=options.pop_caps)
         return jnp.sum(f) * 1e-9
 
-    res["frame_ms"] = round(chain_ms(frame, jnp.float32(0.0)), 3)
+    measure("frame_ms", frame, jnp.float32(0.0))
 
     # --- step pieces (white pop, dense engine internals) ---
     from egg_fluid_simulation_tpu.ops import dense as dense_ops
@@ -171,7 +187,7 @@ def main():
         cs, ps = jax.lax.sort_key_val(cell_id0 + c.astype(jnp.int32) * 0, idx0)
         return jnp.float32(cs[0] + ps[-1])
 
-    res["bin_sort_ms"] = round(chain_ms(sort_piece, jnp.float32(0.0)), 3)
+    measure("bin_sort_ms", sort_piece, jnp.float32(0.0))
 
     cid_s, pidx_s = jax.lax.sort_key_val(cell_id0, idx0)
 
@@ -180,7 +196,7 @@ def main():
                                        cid_s)
         return jnp.float32(slot[0])
 
-    res["bin_inv_sort_ms"] = round(chain_ms(inv_piece, jnp.float32(0.0)), 3)
+    measure("bin_inv_sort_ms", inv_piece, jnp.float32(0.0))
 
     pack0 = jnp.stack([pos[:, 0], pos[:, 1], inv_mass, radius,
                        batch.astype(jnp.float32), jnp.zeros_like(inv_mass),
@@ -191,8 +207,7 @@ def main():
         out = pack0[pidx_s + c.astype(jnp.int32) * 0]
         return jnp.float32(jnp.sum(out[::4096]))
 
-    res["bin_packgather_ms"] = round(
-        chain_ms(packgather_piece, jnp.float32(0.0)), 3)
+    measure("bin_packgather_ms", packgather_piece, jnp.float32(0.0))
 
     def binning_piece(c):
         aux_cols = jnp.stack([pos[:, 0] + c * 0, pos[:, 1], vel[:, 0],
@@ -204,7 +219,7 @@ def main():
                                     use_placement=place_kernel.on_tpu())
         return jnp.sum(b.planes) * 1e-9 + jnp.sum(b.slot) * 1e-12
 
-    res["bin_ms"] = round(chain_ms(binning_piece, jnp.float32(0.0)), 3)
+    measure("bin_ms", binning_piece, jnp.float32(0.0))
 
     def binning_rot_piece(c):
         aux_cols = jnp.stack([pos[:, 0] + c * 0, pos[:, 1], vel[:, 0],
@@ -217,7 +232,7 @@ def main():
                                     rotate=True)
         return jnp.sum(b.planes) * 1e-9 + jnp.sum(b.slot) * 1e-12
 
-    res["bin_rot_ms"] = round(chain_ms(binning_rot_piece, jnp.float32(0.0)), 3)
+    measure("bin_rot_ms", binning_rot_piece, jnp.float32(0.0))
 
     aux_cols = jnp.stack([pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
                           pos[:, 0], pos[:, 1],
@@ -238,18 +253,14 @@ def main():
             rp = dense_ops.ROW_PAD
             return pl.at[dense_ops.FIELD_X, rp:rp + g].add(corr[0] * 1e-6)
 
-        try:
-            res[label] = round(chain_ms(sweep_piece, b.planes), 3)
-        except Exception as e:  # noqa: BLE001 — keep profiling other pieces
-            res[label] = f"FAILED: {type(e).__name__}"
-            print(f"{label} failed: {e}", flush=True)
+        measure(label, sweep_piece, b.planes)
 
-    def extract_piece(c):
+    def extract_piece(c, planes, aux, slot):
         p, pr, v, ing = solver_ops._plane_extract(
-            b.planes + c * 0, b.aux, b.slot, g, g * k)
+            planes + c * 0, aux, slot, g, g * k)
         return jnp.sum(p) * 1e-9
 
-    res["extract_ms"] = round(chain_ms(extract_piece, jnp.float32(0.0)), 3)
+    measure("extract_ms", extract_piece, jnp.float32(0.0), (b.planes, b.aux, b.slot))
 
     # --- the step's "rest": fallback substeps, drift metric, plane-run
     #     elementwise (follow + aux bookkeeping), merge ---
@@ -271,29 +282,29 @@ def main():
         p = p + jnp.stack([fdx, fdy], axis=1)
         return jnp.sum(p[::4096]) * 1e-6
 
-    res["fb_substep_ms"] = round(chain_ms(fb_piece, jnp.float32(0.0)), 3)
+    measure("fb_substep_ms", fb_piece, jnp.float32(0.0))
 
-    def drift_piece(c):
+    def drift_piece(c, planes):
         n_over, n_occ, mxy = solver_ops._plane_drift_over(
-            b.planes + c * 0, b.planes[:2] * 0.99, g,
+            planes + c * 0, planes[:2] * 0.99, g,
             (0.25 * cell_size) ** 2)
         return n_over.astype(jnp.float32) + jnp.sum(mxy)
 
-    res["drift_metric_ms"] = round(chain_ms(drift_piece, jnp.float32(0.0)), 3)
+    measure("drift_metric_ms", drift_piece, jnp.float32(0.0), (b.planes,))
 
     # one full narrow substep in plane layout (3 sweeps + follow + aux);
     # subtract 3*sweep_ms for the elementwise share
-    def plane_run_piece(c):
+    def plane_run_piece(c, aux):
         pl, ax = solver_ops._plane_run(
-            c, b.aux, damp, follow_c, params, sub_dt,
+            c, aux, damp, follow_c, params, sub_dt,
             jnp.float32(1.0), options, g, k, 1, cohesion=False, ordered=False)
         return pl
 
-    res["plane_run1_ms"] = round(chain_ms(plane_run_piece, b.planes), 3)
+    measure("plane_run1_ms", plane_run_piece, b.planes, (b.aux,))
 
-    def merge_piece(c):
+    def merge_piece(c, planes, aux, slot):
         p_pl, prev_pl, v_pl, in_grid = solver_ops._plane_extract(
-            b.planes + c * 0, b.aux, b.slot, g, g * k)
+            planes + c * 0, aux, slot, g, g * k)
         sel = (in_grid & act0)[:, None]
         p = jnp.where(sel, p_pl, pos)
         pr = jnp.where(sel, prev_pl, pos)
@@ -301,7 +312,7 @@ def main():
         return (jnp.sum(p[::4096]) + jnp.sum(pr[::4096])
                 + jnp.sum(v[::4096])) * 1e-6
 
-    res["merge_ms"] = round(chain_ms(merge_piece, jnp.float32(0.0)), 3)
+    measure("merge_ms", merge_piece, jnp.float32(0.0), (b.planes, b.aux, b.slot))
 
     # --- step (one-sided vs symmetric sweep) ---
     def step(s):
@@ -309,7 +320,7 @@ def main():
                                       with_stats=False)
         return s2
 
-    res["step_ms"] = round(chain_ms(step, state), 3)
+    measure("step_ms", step, state)
 
     import dataclasses
     options_sym = dataclasses.replace(options, sweep_symmetric=True)
@@ -319,7 +330,7 @@ def main():
                                       with_stats=False)
         return s2
 
-    res["step_sym_ms"] = round(chain_ms(step_sym, state), 3)
+    measure("step_sym_ms", step_sym, state)
     print(json.dumps(res), flush=True)
 
 

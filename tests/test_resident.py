@@ -162,3 +162,66 @@ def test_static_wide_disable_matches_on_calm_scene():
     pa = np.asarray(ha.state.pos)[act]
     pb = np.asarray(hb.state.pos)[act]
     np.testing.assert_array_equal(pa, pb)
+
+
+def _handler_compat(compat, n_substeps=2):
+    h = SimulationHandler(
+        default_white_config(), default_yolk_config(),
+        capacity=512, max_batches=8,
+        options=SolverOptions(adaptive_rebin=True, stale_hash_compat=compat,
+                              n_substeps=n_substeps, **BASE))
+    a = h.add(80.0, 60.0, 25.0, 8.0, None, None, 50, 12)
+    h.set_target_position(a, 120.0, 90.0)
+    h._flush_targets()
+    return h
+
+
+def test_stale_hash_compat_single_substep_is_identity():
+    """With one substep there is no 'substep >= 2', so the compat flag must
+    change nothing (reference :1375-1377 clears at step start)."""
+    ha = _handler_compat(False, n_substeps=1)
+    hb = _handler_compat(True, n_substeps=1)
+    ha.run_steps(10)
+    hb.run_steps(10)
+    np.testing.assert_array_equal(np.asarray(ha.state.pos),
+                                  np.asarray(hb.state.pos))
+
+
+def test_stale_hash_compat_drops_one_pass_on_later_substeps(monkeypatch):
+    """stale_hash_compat must run n_collision_steps passes on the step's
+    first substep and n-1 on every later one (reference :1905-1912: the
+    pair set is not cleared between substeps, suppressing every
+    already-adjacent pair of substep >= 2's first pass)."""
+    from egg_fluid_simulation_tpu.ops.pallas import sweep_kernel
+
+    def count_passes(compat):
+        import jax
+        jax.clear_caches()  # force a fresh trace: the spy is trace-time only
+        h = _handler_compat(compat)
+        calls = []
+        orig = solver_ops.jax.lax.fori_loop
+
+        def spy_fori(lo, hi, body, init):
+            # collision-pass loops are the only fori_loops whose body is
+            # named collision_pass (trace-time introspection)
+            if getattr(body, "__name__", "") == "collision_pass":
+                calls.append(int(hi) - int(lo))
+            return orig(lo, hi, body, init)
+
+        monkeypatch.setattr(solver_ops.jax.lax, "fori_loop", spy_fori)
+        try:
+            h.step_once()
+        finally:
+            monkeypatch.setattr(solver_ops.jax.lax, "fori_loop", orig)
+        return calls
+
+    without = count_passes(False)
+    with_compat = count_passes(True)
+    # 2 populations x 2 substeps x 2 wide-cond branches, traced once each
+    assert sorted(without) == [3] * 8, without
+    assert sorted(with_compat) == [2] * 4 + [3] * 4, with_compat
+
+
+def test_stale_hash_compat_requires_dense_engine():
+    with pytest.raises(AssertionError):
+        SolverOptions(engine="gather", stale_hash_compat=True)
