@@ -568,6 +568,12 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Test hook: force the Pallas kernels in INTERPRET mode off-TPU, so the
+# CPU-mesh spatial equivalence tests drive the exact production kernel path
+# (shard_map -> _sweep_local -> pallas_call) instead of the jnp fallback.
+FORCE_INTERPRET = os.environ.get("EGG_SWEEP_INTERPRET", "0") == "1"
+
+
 def sweep_planes(planes, params: "D.SweepParams", k: int, *, cohesion: bool,
                  ordered_budget: bool, use_pallas: bool = True,
                  window: int = 1, fresh_mask: bool = False,
@@ -579,14 +585,15 @@ def sweep_planes(planes, params: "D.SweepParams", k: int, *, cohesion: bool,
     ``symmetric=True`` evaluates each unordered pair once and scatters both
     sides (same math to float rounding, ~half the pair terms; Pallas path
     only — the jnp fallback keeps the simple one-sided golden form)."""
-    if use_pallas and _on_tpu():
+    if use_pallas and (_on_tpu() or FORCE_INTERPRET):
+        interp = not _on_tpu()
         if symmetric:
             return _sweep_pallas_sym(planes, params.pack(), k, cohesion,
                                      ordered_budget, window=window,
-                                     fresh_mask=fresh_mask)
+                                     fresh_mask=fresh_mask, interpret=interp)
         return _sweep_pallas(planes, params.pack(), k, cohesion,
                              ordered_budget, window=window,
-                             fresh_mask=fresh_mask)
+                             fresh_mask=fresh_mask, interpret=interp)
     return D.sweep_planes_jnp(planes, params, k, cohesion, ordered_budget,
                               window=window, fresh_mask=fresh_mask)
 

@@ -34,10 +34,14 @@ of the particle axis) holds only particles whose torus cell lies in its
 window, padded with inactive slots (``batch_slot < 0``). Use
 :func:`redistribute` to (re-)establish the invariant from any state.
 
-The sweep here uses the jnp plane sweep (golden model of the Pallas kernel);
-shard-local Pallas variants need lane-halo-aligned shapes and are a later
-optimization. Capability parity: the reference has no distribution of any
-kind (SURVEY.md §2) — this subsystem is TPU-native added capability.
+On TPU the local sweep runs the PRODUCTION Pallas kernel (the padded local
+window is lane-tile aligned by ``SpatialLayout.lp``; see ``_sweep_local``);
+off-TPU it falls back to the jnp golden model, and the CPU-mesh equivalence
+tests re-enable the kernel in interpret mode
+(``ops.pallas.sweep_kernel.FORCE_INTERPRET``) so the sharded kernel path
+itself is exercised without hardware. Capability parity: the reference has
+no distribution of any kind (SURVEY.md §2) — this subsystem is TPU-native
+added capability.
 """
 
 from __future__ import annotations

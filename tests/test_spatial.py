@@ -361,3 +361,43 @@ def test_spatial_step_matches_single_chip_at_scale(gate):
             # in-step migration still fires, and the narrow variant keeps
             # the accumulated 3-step run.
             sp_state = S.redistribute(ref_state, _cell_sizes(h), lay, mesh)
+
+
+@pytest.mark.slow
+def test_spatial_step_runs_production_pallas_kernel_interpret(mesh22):
+    """VERDICT r3 #7: the sharded path must drive the PRODUCTION Pallas
+    sweep on the local padded windows, not only the jnp fallback. Off-TPU
+    the kernel runs in interpret mode (sweep_kernel.FORCE_INTERPRET); the
+    trajectories must match the jnp-sweep spatial step to accumulation
+    rounding (the kernel sums pair terms d-major, the golden dy-major —
+    same pair set, different float order; this gates the shard_map wiring
+    end to end)."""
+    from egg_fluid_simulation_tpu.ops.pallas import sweep_kernel
+
+    h = _handler(options=OPTIONS_FAST, spread=True)
+    lay, mesh, step_jnp = mesh22
+    opts_pallas = SolverOptions(engine="dense", budget_mode="off",
+                                dense_rebin="step", dense_grid_dim=G,
+                                dense_slots=4, use_pallas=True)
+    step_pl = S.spatial_step(mesh, lay, opts_pallas)
+
+    cfg2 = h._device_cfg2()
+    dt = jnp.float32(1 / 60)
+    relax = jnp.float32(1.0)
+    sp0 = S.redistribute(h.state, _cell_sizes(h), lay, mesh)
+
+    sa, sb = sp0, sp0
+    old = sweep_kernel.FORCE_INTERPRET
+    sweep_kernel.FORCE_INTERPRET = True
+    try:
+        for _ in range(2):
+            sa, _, _ = step_pl(sa, cfg2, dt, relax)
+    finally:
+        sweep_kernel.FORCE_INTERPRET = old
+    for _ in range(2):
+        sb, _, _ = step_jnp(sb, cfg2, dt, relax)
+
+    np.testing.assert_allclose(np.asarray(sa.pos), np.asarray(sb.pos),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sa.vel), np.asarray(sb.vel),
+                               atol=0.2)
