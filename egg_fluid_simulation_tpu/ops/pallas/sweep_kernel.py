@@ -52,7 +52,14 @@ def _roll(x, d):
 
     Concat-of-slices on purpose: ``pltpu.roll`` (the native lane rotate) was
     measured marginally SLOWER here (4.6 vs 4.2 ms/sweep at 1M slots) and
-    costs minutes of extra Mosaic compile time at 90 rolls per kernel."""
+    costs minutes of extra Mosaic compile time at 90 rolls per kernel.
+
+    Layout experiments that did NOT pay (measured, 1M slots, G=768 K=4):
+    a K-leading (K, rows, G) retile — partner slot rank becomes a static
+    leading index, lane rolls drop 90 -> 18, masks vanish — ran 6.8 vs the
+    shipped 6.06 ms/sweep: the XLA-side (F, R, G*K) <-> (F, K, R, G)
+    transposes cost more than the rolls they remove, and Mosaic rejects
+    doing the retile in-kernel (lane-dim reshape)."""
     if d == 0:
         return x
     lanes = x.shape[-1]
