@@ -20,6 +20,7 @@ device gather — the TPU analog of the reference's prefix-sum compaction
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from dataclasses import replace
 from typing import Dict, List, Optional, Tuple
@@ -186,13 +187,14 @@ class SimulationHandler:
         kw = {}
         if hasattr(self, "_options"):
             # preserve every tuning field across the re-size; only the
-            # capacity-derived statics (engine, caps, grids, table) re-derive
-            kw = {f: getattr(self._options, f) for f in (
-                "n_substeps", "n_collision_steps", "cohesion_mode",
-                "adaptive_rebin", "rebin_tolerance", "wide_threshold_cells",
-                "wide_tolerance", "wide_budget_substeps",
-                "wide_rearm_substeps", "occ_pressure_cap", "sweep_symmetric",
-                "use_pallas")}
+            # capacity-derived statics re-derive. Derived from
+            # dataclasses.fields so future SolverOptions fields are preserved
+            # automatically instead of silently reverting to defaults.
+            derived = {"engine", "table_size", "dense_grid_dim",
+                       "dense_slots", "pop_caps", "budget_mode"}
+            kw = {f.name: getattr(self._options, f.name)
+                  for f in dataclasses.fields(SolverOptions)
+                  if f.name not in derived}
         if self._capacity >= 16384:
             # ordered-budget emulation costs an extra counting sweep and only
             # binds below ~360 live particles — off at dense-engine scale
@@ -673,12 +675,21 @@ class SimulationHandler:
             pos = np.asarray(self._state.pos[i])[active[i]]
             if pos.shape[0] == 0:
                 continue
-            by = np.floor(pos[:, 1] / wh).astype(np.int64)
-            bx = np.floor(pos[:, 0] / ww).astype(np.int64)
-            by -= by.min()
-            bx -= bx.min()
-            cnt = np.bincount(by * (int(bx.max()) + 1) + bx)
-            dens[i] = float(cnt.max()) / float(wh * ww)
+            # the render's bins are anchored to the (centroid-derived) canvas
+            # origin, which this host-side estimate cannot know; take the max
+            # over a 2x2 set of half-bin-shifted grids so worst-case
+            # alignment (clusters straddling seed-bin corners) cannot
+            # underestimate the canvas-anchored peak by ~4x
+            peak = 0
+            for sy in (0.0, 0.5 * wh):
+                for sx in (0.0, 0.5 * ww):
+                    by = np.floor((pos[:, 1] + sy) / wh).astype(np.int64)
+                    bx = np.floor((pos[:, 0] + sx) / ww).astype(np.int64)
+                    by -= by.min()
+                    bx -= bx.min()
+                    cnt = np.bincount(by * (int(bx.max()) + 1) + bx)
+                    peak = max(peak, int(cnt.max()))
+            dens[i] = float(peak) / float(wh * ww)
         self._render_peak_density = dens
 
     # ----------------------------------------------------------- configs --

@@ -910,7 +910,13 @@ def draw(handler, viewport=None, background=None, check_overflow=True):
             o = opts2[i]
             m = int(audits0[i, 1])
             if m > 0:
-                dens[i] = m / float(o.bin_h * o.bin_w * o.downsample ** 2)
+                d = m / float(o.bin_h * o.bin_w * o.downsample ** 2)
+                # only RAISE the hint: k (tile_capacity) is a static jit
+                # shape parameter, so tracking every frame's fluctuation
+                # downward would recompile the render pipeline repeatedly
+                # and can undersize k, re-triggering the overflow auto-bump
+                if dens[i] is None or d > dens[i]:
+                    dens[i] = d
         handler._render_peak_density = dens
         # auto-bump: size the per-bin budget of any overflowing population
         # directly from the MEASURED max bin occupancy (the binning counts
