@@ -400,53 +400,57 @@ def sweep_planes_jnp(planes: jnp.ndarray, params: SweepParams, k: int,
         ddx = ox - sx
         ddy = oy - sy
         dist2 = ddx * ddx + ddy * ddy
-        # rsqrt replaces sqrt+divide (exact to float rounding; coincident
-        # pairs give inv_dist = 0, the reference's eps guard :1531)
-        inv_dist = jnp.where(dist2 > EPS * EPS,
-                             jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
-                             0.0)
-        dist = dist2 * inv_dist
 
         valid = (socc > 0.0) & (oocc > 0.0) & mask
         if ordered_budget:
             cum_min = jnp.where(oidx < sidx, ocum, scum)
             valid = valid & (cum_min < max_pairs)
 
+        # Trimmed XPBD projection, kept in LOCKSTEP with the Pallas kernel
+        # (ops/pallas/sweep_kernel._pair_terms — bit-exact twin): the
+        # direction normalization inv_d folds into the violation factor
+        # f = -viol * inv_d = target_d * inv_d - 1 (dist * inv_d == 1 up
+        # to rsqrt rounding), raw ddx/ddy serve as the direction, and the
+        # two constraint divides share one denominator. Coincident pairs
+        # (deg, the reference's eps guard :1531) substitute inv_d -> 1,
+        # "1" -> 0 so the factor is exactly |viol|, pushed along the
+        # oblique tiebreak axis (TIE_X above) with the antisymmetric sign.
+        # clip(-viol/D, ±|viol|) == -viol/max(D, 1) — the reference's
+        # correction clamp :1535-1536 folded into the division.
+        deg = dist2 <= EPS * EPS
+        inv_d1 = jnp.where(deg, 1.0,
+                           jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)))
+        nd = jnp.where(deg, 0.0, 1.0)
+
         w_sum = sw + ow
         ok = valid & (w_sum >= EPS)                    # :1601
+        sum_r = sr + orr
 
-        scale = jnp.zeros_like(dist)
-        # clip(-viol/D, ±|viol|) == -viol/max(D, 1) for D >= EPS (which
-        # `ok` guarantees; the result is masked outside `ok`): |corr| <=
-        # |viol| iff D >= 1 — the reference's correction clamp :1535-1536
-        # folded into the division
+        min_d = overlap_f * sum_r
+        hit_l = ok & (dist2 <= min_d * min_d)
+        fl = jnp.where(hit_l, min_d * inv_d1 - nd, 0.0)
+        dl = jnp.maximum(w_sum + collision_c, 1.0)
         if cohesion:
-            same = sb == ob
-            coh_d = cohesion_f * (sr + orr)
-            viol = dist - coh_d
-            corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
-            scale = scale + jnp.where(ok & same & (dist2 <= coh_d * coh_d),
-                                      corr * sw, 0.0)
-
-        min_d = overlap_f * (sr + orr)
-        viol = dist - min_d
-        corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
-        scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
-                                  corr * sw, 0.0)
+            coh_d = cohesion_f * sum_r
+            hit_c = ok & (sb == ob) & (dist2 <= coh_d * coh_d)
+            fc = jnp.where(hit_c, coh_d * inv_d1 - nd, 0.0)
+            dc = jnp.maximum(w_sum + cohesion_c, 1.0)
+            num = fc * dl + fl * dc
+            den = dc * dl
+        else:
+            num = fl
+            den = dl
 
         # occupancy pressure (SweepParams.occ_boost_cap): the other side's
         # cell holds oocc members but only K are resolved — scale this
         # pair's effect by the unresolved fraction. Honest cells (occ <= K,
         # or 0/1-OCC layouts) give boost = 1 exactly.
         boost = jnp.clip(oocc * inv_k, 1.0, boost_hi)
-        # coincident-pair separation (see TIE_X above): the antisymmetric
-        # sign keeps pair momentum zero; scale already carries the honest
-        # |violation|-clamped magnitude (viol = -min_d at dist 0)
-        deg = dist2 <= EPS * EPS
-        ux = jnp.where(deg, sgn * TIE_X, ddx * inv_dist)
-        uy = jnp.where(deg, sgn * TIE_Y, ddy * inv_dist)
-        tx = tx + (-ux) * (scale * boost)
-        ty = ty + (-uy) * (scale * boost)
+        s_eff = (num / den) * (sw * boost)
+        ux = jnp.where(deg, sgn * TIE_X, ddx)
+        uy = jnp.where(deg, sgn * TIE_Y, ddy)
+        tx = tx - ux * s_eff
+        ty = ty - uy * s_eff
         return tx, ty
 
     d_hi = (window + 1) * k                            # d in [-(d_hi-1), d_hi)

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...utils.mathx import EPS
 from .. import dense as D
 
-__all__ = ["sweep_planes", "count_planes"]
+__all__ = ["sweep_planes", "count_planes", "substep_pass"]
 
 _BLOCK_ROWS = int(os.environ.get("EGG_SWEEP_BLOCK_ROWS", "32"))
                   # rows per program; larger blocks amortize the 2*ROW_PAD
@@ -69,7 +69,8 @@ def _roll(x, d):
 
 def _pair_terms(block, r0: int, rows: int, k: int, params,
                 cohesion: bool, ordered_budget: bool, count_only: bool,
-                window: int = 1, fresh_mask: bool = False):
+                window: int = 1, fresh_mask: bool = False,
+                occ_is_boost: bool = False):
     """Shared sweep body over self rows [r0, r0+rows) of a (F, R, L) block.
 
     Returns (tx, ty) correction sums, or the examined-pair count when
@@ -77,8 +78,18 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
     :func:`...ops.dense.sweep_planes_jnp` / ``count_planes_jnp``.
     ``window``/``fresh_mask`` implement the wide violent-phase sweep (see
     the jnp golden model's docstring).
+
+    ``block`` is either a (F, R, L) array or a list indexed by the same
+    D.FIELD_* constants — the fused substep kernels assemble their field
+    windows individually and pass ``None`` for fields the configuration
+    never reads (CUM/IDX outside the ordered budget).
+
+    ``occ_is_boost``: FIELD_OCC already holds the PRECOMPUTED
+    occupancy-pressure boost (``clip(count / k, 1, cap)``, 0 = empty) —
+    the fused component path bakes it at bin time, saving the clip per
+    pair term. The math is bit-identical either way.
     """
-    lanes = block.shape[-1]
+    lanes = block[D.FIELD_X].shape[-1]
     g = lanes // k
 
     def rowsl(f, dy):
@@ -86,8 +97,11 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
 
     sx, sy = rowsl(D.FIELD_X, 0), rowsl(D.FIELD_Y, 0)
     sw, sr = rowsl(D.FIELD_W, 0), rowsl(D.FIELD_R, 0)
-    sb, scum = rowsl(D.FIELD_BATCH, 0), rowsl(D.FIELD_CUM, 0)
-    sidx, socc = rowsl(D.FIELD_IDX, 0), rowsl(D.FIELD_OCC, 0)
+    socc = rowsl(D.FIELD_OCC, 0)
+    sb = rowsl(D.FIELD_BATCH, 0) if (cohesion and not count_only) else None
+    scum = rowsl(D.FIELD_CUM, 0) if ordered_budget else None
+    sidx = (rowsl(D.FIELD_IDX, 0)
+            if (ordered_budget or count_only) else None)
 
     if count_only:
         acc = jnp.zeros_like(sx)
@@ -167,43 +181,53 @@ def _pair_terms(block, r0: int, rows: int, k: int, params,
             ddx = ox - sx
             ddy = oy - sy
             dist2 = ddx * ddx + ddy * ddy
-            # rsqrt replaces sqrt+divide; clip(-viol/D, ±|viol|) folds into
-            # -viol/max(D, 1) — see ops/dense.py sweep_planes_jnp (the golden
-            # model); both exact to float rounding
-            inv_dist = jnp.where(dist2 > EPS * EPS,
-                                 jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
-                                 0.0)
-            dist = dist2 * inv_dist
+            # Trimmed XPBD projection (one divide, no explicit dist): the
+            # direction normalization inv_d folds INTO the violation factor
+            #   f = -viol * inv_d = target_d * inv_d - 1
+            # (using dist * inv_d == 1 up to rsqrt rounding), the raw ddx/y
+            # serve as the direction, and the two constraint divides share
+            # a common denominator: fc/Dc + fl/Dl = (fc*Dl + fl*Dc)/(Dc*Dl).
+            # Coincident pairs (deg) substitute inv_d -> 1, "1" -> 0, so
+            # the factor becomes target_d == |viol| exactly, pushed along
+            # the fixed oblique tiebreak axis (dense.TIE_X docstring).
+            # clip(-viol/D, ±|viol|) stays folded as D = max(..., 1).
+            deg = dist2 <= EPS * EPS
+            inv_d1 = jnp.where(deg, 1.0,
+                               jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)))
+            nd = jnp.where(deg, 0.0, 1.0)
 
             w_sum = sw + ow
             ok = valid & (w_sum >= EPS)
+            sum_r = sr + orr
 
-            scale = jnp.zeros_like(dist)
+            min_d = overlap_f * sum_r
+            hit_l = ok & (dist2 <= min_d * min_d)
+            fl = jnp.where(hit_l, min_d * inv_d1 - nd, 0.0)
+            dl = jnp.maximum(w_sum + collision_c, 1.0)
             if cohesion:
                 ob = o_block[D.FIELD_BATCH]
-                coh_d = cohesion_f * (sr + orr)
-                viol = dist - coh_d
-                corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
-                scale = scale + jnp.where(ok & (sb == ob) & (dist2 <= coh_d * coh_d),
-                                          corr * sw, 0.0)
-
-            min_d = overlap_f * (sr + orr)
-            viol = dist - min_d
-            corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
-            scale = scale + jnp.where(ok & (dist2 <= min_d * min_d),
-                                      corr * sw, 0.0)
+                coh_d = cohesion_f * sum_r
+                hit_c = ok & (sb == ob) & (dist2 <= coh_d * coh_d)
+                fc = jnp.where(hit_c, coh_d * inv_d1 - nd, 0.0)
+                dc = jnp.maximum(w_sum + cohesion_c, 1.0)
+                num = fc * dl + fl * dc
+                den = dc * dl
+            else:
+                num = fl
+                den = dl
 
             # occupancy-pressure boost (dense.SweepParams.occ_boost_cap)
-            boost = jnp.clip(oocc * inv_k, 1.0, boost_hi)
-            # coincident-pair separation along the fixed oblique axis with
-            # the antisymmetric per-side sign (dense.TIE_X docstring); the
-            # sign is a compile-time constant per (d, dy) term
+            boost = oocc if occ_is_boost else jnp.clip(oocc * inv_k, 1.0,
+                                                       boost_hi)
+            s_eff = (num / den) * (sw * boost)
+            # antisymmetric per-side sign of the coincident tiebreak; a
+            # compile-time constant per (d, dy) term. The direction is the
+            # RAW ddx/ddy — its 1/dist normalization lives in s_eff via f.
             sgn = 1.0 if (dy > 0 or (dy == 0 and d > 0)) else -1.0
-            deg = dist2 <= EPS * EPS
-            ux = jnp.where(deg, sgn * D.TIE_X, ddx * inv_dist)
-            uy = jnp.where(deg, sgn * D.TIE_Y, ddy * inv_dist)
-            tx = tx + (-ux) * (scale * boost)
-            ty = ty + (-uy) * (scale * boost)
+            ux = jnp.where(deg, sgn * D.TIE_X, ddx)
+            uy = jnp.where(deg, sgn * D.TIE_Y, ddy)
+            tx = tx - ux * s_eff
+            ty = ty - uy * s_eff
 
     return acc if count_only else (tx, ty)
 
@@ -304,31 +328,35 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
             ddx = ox - sx
             ddy = oy - sy
             dist2 = ddx * ddx + ddy * ddy
-            inv_dist = jnp.where(dist2 > EPS * EPS,
-                                 jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)),
-                                 0.0)
-            dist = dist2 * inv_dist
 
             w_sum = sw + ow
             ok = valid & (w_sum >= EPS)
 
-            scale_s = jnp.zeros_like(dist)
-            scale_o = jnp.zeros_like(dist)
+            # trimmed projection in LOCKSTEP with the one-sided body (see
+            # _pair_terms): inv_d folded into the violation factors, one
+            # shared divide serving BOTH sides' corrections
+            deg = dist2 <= EPS * EPS
+            inv_d1 = jnp.where(deg, 1.0,
+                               jax.lax.rsqrt(jnp.maximum(dist2, EPS * EPS)))
+            nd = jnp.where(deg, 0.0, 1.0)
+            sum_r = sr + orr
+
+            min_d = overlap_f * sum_r
+            hit_l = ok & (dist2 <= min_d * min_d)
+            fl = jnp.where(hit_l, min_d * inv_d1 - nd, 0.0)
+            dl = jnp.maximum(w_sum + collision_c, 1.0)
             if cohesion:
                 ob = o_block[D.FIELD_BATCH]
-                coh_d = cohesion_f * (sr + orr)
-                viol = dist - coh_d
-                corr = -viol / jnp.maximum(w_sum + cohesion_c, 1.0)
-                hit = ok & (sb == ob) & (dist2 <= coh_d * coh_d)
-                scale_s = scale_s + jnp.where(hit, corr * sw, 0.0)
-                scale_o = scale_o + jnp.where(hit, corr * ow, 0.0)
-
-            min_d = overlap_f * (sr + orr)
-            viol = dist - min_d
-            corr = -viol / jnp.maximum(w_sum + collision_c, 1.0)
-            hit = ok & (dist2 <= min_d * min_d)
-            scale_s = scale_s + jnp.where(hit, corr * sw, 0.0)
-            scale_o = scale_o + jnp.where(hit, corr * ow, 0.0)
+                coh_d = cohesion_f * sum_r
+                hit_c = ok & (sb == ob) & (dist2 <= coh_d * coh_d)
+                fc = jnp.where(hit_c, coh_d * inv_d1 - nd, 0.0)
+                dc = jnp.maximum(w_sum + cohesion_c, 1.0)
+                num = fc * dl + fl * dc
+                den = dc * dl
+            else:
+                num = fl
+                den = dl
+            r = num / den
 
             # occupancy-pressure boost, per side: each side's correction
             # stands in for ITS missing partners in the OTHER's cell
@@ -337,18 +365,17 @@ def _pair_terms_sym(block, r0: int, rows: int, k: int, params,
             # half-space terms (dy > 0, or dy = 0 & d > 0) carry sgn = +1;
             # the other side gets the opposite push via +ux below — the
             # same antisymmetric coincident tiebreak as the one-sided body
-            deg = dist2 <= EPS * EPS
-            ux = jnp.where(deg, D.TIE_X, ddx * inv_dist)
-            uy = jnp.where(deg, D.TIE_Y, ddy * inv_dist)
-            tx = tx - ux * (scale_s * boost_s)
-            ty = ty - uy * (scale_s * boost_s)
+            ux = jnp.where(deg, D.TIE_X, ddx)
+            uy = jnp.where(deg, D.TIE_Y, ddy)
+            tx = tx - ux * (r * (sw * boost_s))
+            ty = ty - uy * (r * (sw * boost_s))
             # other side: opposite direction, own inverse-mass share; lands
             # at (row + dy, lane - d) — row shift now, lane roll once per d.
             # Zero-padded concat instead of .at[dy:dy+rows].add: Mosaic has
             # no scatter-add lowering, and the static row shift is just an
             # aligned add.
-            vx = ux * (scale_o * boost_o)
-            vy = uy * (scale_o * boost_o)
+            vx = ux * (r * (ow * boost_o))
+            vy = uy * (r * (ow * boost_o))
             if dy or w - dy:
                 # Mosaic rejects 0-sized vector operands: only concatenate
                 # the non-empty pads (dy=0 or dy=w legs of window>1 sweeps)
@@ -569,6 +596,257 @@ def _count_pallas(planes, k: int, interpret: bool = False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(_block_flags(planes, g, b), dummy, planes)
+
+
+# ------------------------------------------------- fused substep kernels --
+#
+# The component-layout fast path (solver._population_*_fused): positions ride
+# in an UNPADDED (2, G, L) tensor, step-static pair fields (W, R, BATCH, OCC)
+# in a (4, G, L) tensor, and a whole collision pass is ONE kernel producing
+# updated positions directly — no correction tensor, no XLA ``.at[].add``,
+# no halo refresh (the torus wrap is three wrapped-index input refs). The
+# first pass of each substep additionally runs the substep prologue
+# (damped integration + follow constraint) in its own prologue: integration
+# is elementwise, so each block recomputes its +-window neighbor rows'
+# integrated positions redundantly instead of waiting on a separate
+# full-tensor XLA pass. Velocity is not stored at all — the previous-position
+# planes encode it exactly (``v = (x - prev) / dt``), and damped integration
+# is the recurrence ``x += damp * (x - prev)`` (bit-identical to the
+# reference's explicit velocity update, simulation_handler.lua:1393-1432 and
+# :1690-1693, composed).
+
+def _follow_prologue(xi, yi, W, OC, TX, TY, TD, follow_c):
+    """XPBD follow correction, identical math to solver._follow_delta
+    (reference :1435-1471)."""
+    dx = TX - xi
+    dy = TY - yi
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    inv_dist = jnp.where(dist > EPS, 1.0 / jnp.maximum(dist, EPS), 0.0)
+    violation = dist - TD
+    delta_lambda = violation / (W + follow_c)
+    apply = (OC > 0.0) & (W > EPS) & (dist > TD)
+    scale = jnp.where(apply, delta_lambda * W * inv_dist, 0.0)
+    return xi + dx * scale, yi + dy * scale
+
+
+_CPAD = 8  # window halo rows above/below each block in the scratch windows:
+           # 8-row alignment keeps every DMA start on the (8, 128) f32 tile
+           # grid (G is always a multiple of 8), and bounds window <= 8
+
+
+def _load_window(hbm, scratch, sem, i, b: int, g: int):
+    """DMA rows [i*b - 8, i*b + b + 8) mod G of ``hbm`` into ``scratch``.
+
+    The torus wrap lives HERE — the component tensors carry no halo rows.
+    Starts are always multiples of 8 (b and G are), so every copy is
+    tile-aligned; only the first/last block splits at the wrap."""
+    nb = g // b
+    p = _CPAD
+    if nb == 1:
+        # window = whole grid plus both wraps
+        c1 = pltpu.make_async_copy(hbm.at[:, pl.ds(g - p, p)],
+                                   scratch.at[:, pl.ds(0, p)], sem)
+        c1.start()
+        c1.wait()
+        c2 = pltpu.make_async_copy(hbm, scratch.at[:, pl.ds(p, g)], sem)
+        c2.start()
+        c2.wait()
+        c3 = pltpu.make_async_copy(hbm.at[:, pl.ds(0, p)],
+                                   scratch.at[:, pl.ds(p + g, p)], sem)
+        c3.start()
+        c3.wait()
+        return
+
+    @pl.when(i == 0)
+    def _first():
+        c1 = pltpu.make_async_copy(hbm.at[:, pl.ds(g - p, p)],
+                                   scratch.at[:, pl.ds(0, p)], sem)
+        c1.start()
+        c1.wait()
+        c2 = pltpu.make_async_copy(hbm.at[:, pl.ds(0, b + p)],
+                                   scratch.at[:, pl.ds(p, b + p)], sem)
+        c2.start()
+        c2.wait()
+
+    @pl.when(i == nb - 1)
+    def _last():
+        c1 = pltpu.make_async_copy(hbm.at[:, pl.ds(g - b - p, b + p)],
+                                   scratch.at[:, pl.ds(0, b + p)], sem)
+        c1.start()
+        c1.wait()
+        c2 = pltpu.make_async_copy(hbm.at[:, pl.ds(0, p)],
+                                   scratch.at[:, pl.ds(b + p, p)], sem)
+        c2.start()
+        c2.wait()
+
+    @pl.when((i > 0) & (i < nb - 1))
+    def _interior():
+        c = pltpu.make_async_copy(hbm.at[:, pl.ds(i * b - p, b + 2 * p)],
+                                  scratch, sem)
+        c.start()
+        c.wait()
+
+
+def _make_pass_kernel(k: int, cohesion: bool, b: int, g: int, window: int,
+                      fresh_mask: bool, integrate: bool):
+    """One collision pass over row blocks; ``integrate`` fuses the substep
+    prologue (damped integration + follow) ahead of the pair sweep."""
+    r0 = _CPAD
+
+    def compute(params_ref, aux_ref, sxy, sst, sprev, sfol, out_xy, out_prev):
+        X, Y = sxy[0], sxy[1]                                # (b + 16, L)
+        W, R = sst[0], sst[1]
+        BA = sst[2] if cohesion else None
+        OC = sst[3]
+        params = tuple(params_ref[j] for j in range(8))
+        relax = aux_ref[2]
+        if integrate:
+            damp = aux_ref[0]
+            follow_c = aux_ref[1]
+            PX, PY = sprev[0], sprev[1]
+            xi = X + damp * (X - PX)
+            yi = Y + damp * (Y - PY)
+            xf, yf = _follow_prologue(xi, yi, W, OC, sfol[0], sfol[1],
+                                      sfol[2], follow_c)
+        else:
+            xf, yf = X, Y
+        block = [xf, yf, W, R, BA, None, None, OC]
+        tx, ty = _pair_terms(block, r0, b, k, params, cohesion, False, False,
+                             window=window, fresh_mask=fresh_mask,
+                             occ_is_boost=True)
+        out_xy[0] = xf[r0:r0 + b] + relax * tx
+        out_xy[1] = yf[r0:r0 + b] + relax * ty
+        if integrate:
+            out_prev[0] = X[r0:r0 + b]                       # pre-integration
+            out_prev[1] = Y[r0:r0 + b]
+
+    if integrate:
+        def kernel(flags_ref, params_ref, aux_ref, xy_hbm, stat_hbm,
+                   prev_hbm, fol_hbm, out_xy, out_prev,
+                   sxy, sst, sprev, sfol, sem):
+            i = pl.program_id(0)
+
+            # occupancy skip: empty self rows hold all-zero fields, on which
+            # the whole pipeline is the identity (integration of zeros,
+            # masked follow, no valid pairs) — zero output == identity
+            @pl.when(flags_ref[i] == 0)
+            def _skip():
+                out_xy[:] = jnp.zeros_like(out_xy)
+                out_prev[:] = jnp.zeros_like(out_prev)
+
+            @pl.when(flags_ref[i] != 0)
+            def _run():
+                _load_window(xy_hbm, sxy, sem, i, b, g)
+                _load_window(stat_hbm, sst, sem, i, b, g)
+                _load_window(prev_hbm, sprev, sem, i, b, g)
+                _load_window(fol_hbm, sfol, sem, i, b, g)
+                compute(params_ref, aux_ref, sxy[:], sst[:], sprev[:],
+                        sfol[:], out_xy, out_prev)
+    else:
+        def kernel(flags_ref, params_ref, aux_ref, xy_hbm, stat_hbm,
+                   out_xy, sxy, sst, sem):
+            i = pl.program_id(0)
+
+            @pl.when(flags_ref[i] == 0)
+            def _skip():
+                out_xy[:] = jnp.zeros_like(out_xy)
+
+            @pl.when(flags_ref[i] != 0)
+            def _run():
+                _load_window(xy_hbm, sxy, sem, i, b, g)
+                _load_window(stat_hbm, sst, sem, i, b, g)
+                compute(params_ref, aux_ref, sxy[:], sst[:], None, None,
+                        out_xy, None)
+
+    return kernel
+
+
+def _comp_block_flags(stat, b: int) -> jnp.ndarray:
+    """(nb,) i32 — 1 where a row block's self rows hold any occupied slot.
+
+    Wrapped-window reads make a block's PAIR CANDIDATES extend +-window rows
+    beyond it, but corrections only land on occupied SELF slots and every
+    field of an empty slot is zero, so empty self rows produce zero output
+    (== their identity)."""
+    g = stat.shape[1]
+    any_occ = jnp.max(stat[3].reshape(g // b, -1), axis=1)
+    return (any_occ > 0.0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "cohesion", "window", "fresh_mask",
+                                    "integrate", "interpret"))
+def _substep_pass_pallas(xy, stat, prev, follow, params_packed, aux_packed,
+                         k: int, cohesion: bool, window: int = 1,
+                         fresh_mask: bool = False, integrate: bool = False,
+                         interpret: bool = False):
+    _, g, lanes = xy.shape
+    b = min(_BLOCK_ROWS, g)
+    assert g % b == 0, "dense_grid_dim must be a multiple of the sweep block"
+    assert g % 8 == 0 and b % 8 == 0
+    assert window <= _CPAD
+    nb = g // b
+    kernel = _make_pass_kernel(k, cohesion, b, g, window, fresh_mask,
+                               integrate)
+
+    win = b + 2 * _CPAD
+    out_xy = jax.ShapeDtypeStruct((2, g, lanes), jnp.float32)
+    out_block = pl.BlockSpec((2, b, lanes), lambda i: (0, i, 0))
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY)]
+    operands = [_comp_block_flags(stat, b), params_packed, aux_packed,
+                xy, stat]
+    scratch = [pltpu.VMEM((2, win, lanes), jnp.float32),
+               pltpu.VMEM((4, win, lanes), jnp.float32)]
+    if integrate:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                     pl.BlockSpec(memory_space=pl.ANY)]
+        operands += [prev, follow]
+        out_specs = [out_block, out_block]
+        out_shape = [out_xy, out_xy]
+        scratch += [pltpu.VMEM((2, win, lanes), jnp.float32),
+                    pltpu.VMEM((3, win, lanes), jnp.float32)]
+    else:
+        out_specs = out_block
+        out_shape = out_xy
+    scratch.append(pltpu.SemaphoreType.DMA)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+
+
+def substep_pass(xy, stat, params: "D.SweepParams", aux_scalars, k: int, *,
+                 cohesion: bool, window: int = 1, fresh_mask: bool = False,
+                 prev=None, follow=None, integrate: bool = False,
+                 interpret: bool = False):
+    """One fused collision pass in component layout -> updated ``xy``
+    (and, with ``integrate``, the new previous-position tensor).
+
+    ``aux_scalars``: (damp, follow_compliance, relaxation) traced scalars.
+    ``stat`` rows: W, R, BATCH, OCC (step-static). Wrap-around neighbor rows
+    are read via wrapped-index block refs, so no halo rows exist anywhere.
+    """
+    aux_packed = jnp.stack([jnp.asarray(v, jnp.float32)
+                            for v in aux_scalars] + [jnp.float32(0.0)])
+    if integrate:
+        return _substep_pass_pallas(xy, stat, prev, follow, params.pack(),
+                                    aux_packed, k, cohesion, window,
+                                    fresh_mask, True, interpret)
+    return _substep_pass_pallas(xy, stat, xy, xy, params.pack(), aux_packed,
+                                k, cohesion, window, fresh_mask, False,
+                                interpret)
 
 
 def _on_tpu() -> bool:

@@ -651,6 +651,183 @@ def _plane_run(planes, aux, damp, follow_c, params, sub_dt, relaxation,
     return planes, aux
 
 
+# -------------------------------------- dense engine (fused component path) --
+#
+# The production TPU fast path: positions/previous-positions in UNPADDED
+# (2, G, L) tensors, step-static pair fields (W, R, BATCH, OCC) in a
+# (4, G, L) tensor, follow targets in (3, G, L) — and each collision pass is
+# ONE Pallas kernel producing updated positions directly
+# (ops/pallas/sweep_kernel.substep_pass). The first pass of a substep fuses
+# the substep prologue (damped integration + follow constraint) into its own
+# kernel prologue. Velocity is never stored: ``prev`` encodes it exactly
+# (``v = (x - prev) / sub_dt``), so damped integration is the recurrence
+# ``x += damp * (x - prev)`` — bit-identical to the explicit velocity form.
+# This removes every per-substep full-tensor XLA traversal (aux rewrites,
+# follow delta, correction add, halo refresh) that dominated the step at 1M
+# (round-5 profile: ~39 ms of non-sweep cost per step).
+
+
+def _fused_component_path(options: "SolverOptions") -> bool:
+    """Whether the fused component-layout substep path applies."""
+    from .pallas import sweep_kernel
+    return (options.use_pallas
+            and options.budget_mode == "off"
+            and not options.sweep_symmetric
+            and options.n_collision_steps >= 1
+            and not (options.stale_hash_compat
+                     and options.n_collision_steps < 2)
+            and (sweep_kernel._on_tpu() or sweep_kernel.FORCE_INTERPRET))
+
+
+def _bin_components(p, v, inv_mass, radius, batch_slot, act, cell_size,
+                    tx, ty, td, sub_dt, g: int, k: int, use_placement: bool,
+                    occ_cap: float = 8.0):
+    """Sort-bin directly into the fused component layout.
+
+    Only 5 aux columns ride along (previous position x/y + follow targets):
+    ``prev`` is initialized to ``pos - sub_dt * vel`` so the first damped
+    integration ``x + damp * (x - prev)`` reproduces ``x + sub_dt * damp *
+    vel`` to float rounding (the subtraction reassociates ``dt * vel`` —
+    sub-ulp-of-position, measured max rel ~5e-7 vs the legacy velocity
+    form) — and extraction's derived velocity is the input velocity even
+    when zero substeps ran.
+
+    ``stat`` row 3 holds the PRECOMPUTED occupancy-pressure boost
+    (``clip(count / k, 1, occ_cap)``; 0 = empty slot) — occupancy is static
+    within a step, so the fused kernels read it instead of re-deriving the
+    clip per pair term (sweep_kernel occ_is_boost). Returns
+    (xy, prev, stat, follow, slot)."""
+    aux_cols = jnp.stack([p[:, 0] - sub_dt * v[:, 0],
+                          p[:, 1] - sub_dt * v[:, 1], tx, ty, td], axis=1)
+    binning = dense_ops.bin_to_planes(
+        p, inv_mass, radius, batch_slot, act, cell_size,
+        grid_dim=g, slots_per_cell=k, aux_cols=aux_cols,
+        use_placement=use_placement, rotate=True)
+    rp = dense_ops.ROW_PAD
+    core = binning.planes[:, rp:rp + g]
+    a = binning.aux[:, rp:rp + g]
+    occ = core[dense_ops.FIELD_OCC]
+    boost = jnp.where(occ > 0.0,
+                      jnp.clip(occ * (1.0 / k), 1.0, max(occ_cap, 1.0)),
+                      0.0)
+    stat = jnp.stack([core[dense_ops.FIELD_W], core[dense_ops.FIELD_R],
+                      core[dense_ops.FIELD_BATCH], boost])
+    return core[:2], a[0:2], stat, a[2:5], binning.slot
+
+
+def _fused_run(xy, prev, stat, follow, damp, follow_c, params, sub_dt,
+               relaxation, options: "SolverOptions", g: int, k: int,
+               n_sub: int, *, cohesion: bool, wide: bool = False,
+               first_substep: bool = True):
+    """``n_sub`` substeps in component layout — the fused analog of
+    :func:`_plane_run` (kernel-resident prologue, no elementwise XLA)."""
+    del sub_dt, g  # encoded in prev / the tensor shapes
+    from .pallas import sweep_kernel
+    interp = not sweep_kernel._on_tpu()
+    aux_scalars = (damp, follow_c, relaxation)
+    window = 3 if wide else 1
+    for s in range(n_sub):
+        n_passes = options.n_collision_steps
+        if options.stale_hash_compat and not (first_substep and s == 0):
+            n_passes = max(n_passes - 1, 0)
+        xy, prev = sweep_kernel.substep_pass(
+            xy, stat, params, aux_scalars, k, cohesion=cohesion,
+            window=window, fresh_mask=wide, prev=prev, follow=follow,
+            integrate=True, interpret=interp)
+        for _ in range(n_passes - 1):
+            xy = sweep_kernel.substep_pass(
+                xy, stat, params, aux_scalars, k, cohesion=cohesion,
+                window=window, fresh_mask=wide, interpret=interp)
+    return xy, prev
+
+
+def _comp_extract(xy, prev, stat, slot, g: int, lanes: int, sub_dt):
+    """Component-layout extraction — one gather, velocity derived exactly
+    (mirrors :func:`_plane_extract`; valid at any substep count because
+    ``prev`` encodes the input velocity at bin time)."""
+    ext = jnp.stack([xy[0], xy[1], prev[0], prev[1], stat[3]],
+                    axis=-1).reshape(-1, 5)
+    safe = jnp.minimum(slot, g * lanes - 1)
+    got = ext[safe]
+    in_grid = (slot < g * lanes) & (got[:, 4] > 0.0)
+    p = got[:, 0:2]
+    pr = got[:, 2:4]
+    return p, pr, (p - pr) / sub_dt, in_grid
+
+
+def _comp_drift_over(xy, occ, ref_xy, thresh2):
+    """Relative-drift count in component layout (mirrors
+    :func:`_plane_drift_over`, no halo rows to skip)."""
+    occ01 = jnp.minimum(occ, 1.0)
+    n_occ = jnp.maximum(jnp.sum(occ01), 1.0)
+    dxp = (xy[0] - ref_xy[0]) * occ01
+    dyp = (xy[1] - ref_xy[1]) * occ01
+    mx = jnp.sum(dxp) / n_occ
+    my = jnp.sum(dyp) / n_occ
+    rel2 = (dxp - mx * occ01) ** 2 + (dyp - my * occ01) ** 2
+    return jnp.sum(rel2 > thresh2), n_occ, jnp.stack([mx, my])
+
+
+def _fused_adaptive_run(xy, prev, stat, follow, fb_p, fb_prev, fb_v,
+                        fallback_substep, act, cell_size, damp, follow_c,
+                        params, sub_dt, relaxation, options: "SolverOptions",
+                        g: int, k: int, n_sub: int, *, cohesion: bool,
+                        wide=None):
+    """Violence-gated substep runner in component layout — the fused analog
+    of :func:`_adaptive_substep_run` (same gate, same episode budget)."""
+    if options.wide_budget_substeps == 0:
+        if wide is None:
+            wide = wide_state_init(options)
+        for s in range(n_sub):
+            xy, prev = _fused_run(xy, prev, stat, follow, damp, follow_c,
+                                  params, sub_dt, relaxation, options, g, k,
+                                  1, cohesion=cohesion, wide=False,
+                                  first_substep=(s == 0))
+            fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
+        return xy, prev, fb_p, fb_prev, fb_v, wide
+
+    thresh2 = (options.wide_threshold_cells * cell_size) ** 2
+    wide_tol = options.wide_tolerance
+    rearm = jnp.int32(options.wide_rearm_substeps)
+    full_budget = jnp.int32(options.wide_budget_substeps)
+    n_live = jnp.maximum(jnp.sum(act), 1)
+    occ01 = jnp.minimum(stat[3], 1.0)
+    n_occ = jnp.maximum(jnp.sum(occ01), 1.0)
+    # velocity-predicted first-substep trip: (x - prev) == vel * sub_dt
+    pdx = (xy[0] - prev[0]) * occ01
+    pdy = (xy[1] - prev[1]) * occ01
+    mx = jnp.sum(pdx) / n_occ
+    my = jnp.sum(pdy) / n_occ
+    rel2 = (pdx - mx * occ01) ** 2 + (pdy - my * occ01) ** 2
+    pred_trip = jnp.sum(rel2 > thresh2) > wide_tol * n_live
+    if wide is None:
+        wide = wide_state_init(options)
+    trip, budget, calm = wide
+    trip = trip | pred_trip
+    move_ref = xy
+    for s in range(n_sub):
+        wide_now = trip & (budget > 0)
+
+        def run(w, first=s == 0):
+            def f(c):
+                x, p = c
+                return _fused_run(x, p, stat, follow, damp, follow_c,
+                                  params, sub_dt, relaxation, options, g, k,
+                                  1, cohesion=cohesion, wide=w,
+                                  first_substep=first)
+            return f
+
+        xy, prev = jax.lax.cond(wide_now, run(True), run(False), (xy, prev))
+        budget = jnp.where(wide_now, budget - 1, budget)
+        fb_p, fb_prev, fb_v = fallback_substep(fb_p, fb_v)
+        n_over, _, _ = _comp_drift_over(xy, stat[3], move_ref, thresh2)
+        move_ref = xy
+        trip = n_over > wide_tol * n_live
+        calm = jnp.where(trip, 0, calm + 1)
+        budget = jnp.where(calm >= rearm, full_budget, budget)
+    return xy, prev, fb_p, fb_prev, fb_v, (trip, budget, calm)
+
+
 def _plane_drift_over(planes, ref_xy, g: int, thresh2):
     """Count of occupied real-row slots whose RELATIVE drift (vs the
     population-mean displacement) since bin time exceeds ``thresh2``.
@@ -872,14 +1049,28 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
                 binning = _dense_add_cum(binning, k, options.use_pallas)
             return binning.planes, binning.aux, binning.slot
 
-        planes, aux, slot = bin_now(pos, vel)
-        planes, aux, fb_p, fb_prev, fb_v, ws = _adaptive_substep_run(
-            planes, aux, pos, pos, vel,
-            fallback_substep, act, cell_size, damp, follow_c, params,
-            sub_dt, relaxation, options, g, k, n_sub,
-            cohesion=cohesion, ordered=ordered, wide=wide_state)
-        p_pl, prev_pl, v_pl, in_grid = _plane_extract(planes, aux, slot,
-                                                      g, lanes, sub_dt=sub_dt)
+        if _fused_component_path(options):
+            xy, prev_c, stat_c, follow3, slot = _bin_components(
+                pos, vel, inv_mass, radius, batch_slot, act, cell_size,
+                tx, ty, td, sub_dt, g, k, use_placement,
+                occ_cap=options.occ_pressure_cap)
+            xy, prev_c, fb_p, fb_prev, fb_v, ws = _fused_adaptive_run(
+                xy, prev_c, stat_c, follow3, pos, pos, vel,
+                fallback_substep, act, cell_size, damp, follow_c, params,
+                sub_dt, relaxation, options, g, k, n_sub,
+                cohesion=cohesion, wide=wide_state)
+            p_pl, prev_pl, v_pl, in_grid = _comp_extract(xy, prev_c, stat_c,
+                                                         slot, g, lanes,
+                                                         sub_dt)
+        else:
+            planes, aux, slot = bin_now(pos, vel)
+            planes, aux, fb_p, fb_prev, fb_v, ws = _adaptive_substep_run(
+                planes, aux, pos, pos, vel,
+                fallback_substep, act, cell_size, damp, follow_c, params,
+                sub_dt, relaxation, options, g, k, n_sub,
+                cohesion=cohesion, ordered=ordered, wide=wide_state)
+            p_pl, prev_pl, v_pl, in_grid = _plane_extract(
+                planes, aux, slot, g, lanes, sub_dt=sub_dt)
         sel = (in_grid & act)[:, None]
         keep = act[:, None]
         new_pos = jnp.where(sel, p_pl, jnp.where(keep, fb_p, pos))
@@ -907,6 +1098,96 @@ def _population_step_dense(pos, vel, mass_t, batch_slot, act, cfg,
     return new_pos, new_prev, new_vel, inv_mass, radius, ws
 
 
+def _population_multi_dense_fused(pos, vel, mass_t, batch_slot, act, cfg,
+                                  follow_rows, sub_dt, relaxation,
+                                  options: SolverOptions, g: int, k: int,
+                                  n_steps, wide_state=None):
+    """Fused component-layout variant of :func:`_population_multi_dense` —
+    same adaptive plane residency, drift gate, and fallback merge, with the
+    substep pipeline living entirely in the fused Pallas passes."""
+    from .pallas import place_kernel
+    assert options.budget_mode == "off" and options.dense_rebin == "step"
+    lanes = g * k
+    n_sub = options.n_substeps
+    cohesion = options.cohesion_mode == "spacing"
+    use_placement = options.use_pallas and place_kernel.on_tpu()
+
+    damp = 1.0 - jnp.clip(cfg.damping, 0.0, 1.0)
+    mass = jnp_mix(cfg.min_mass, cfg.max_mass, mass_t)
+    inv_mass = jnp.where(act, 1.0 / jnp.maximum(mass, jnp.float32(1e-12)), 0.0)
+    radius = jnp.where(act, jnp_mix(cfg.min_radius, cfg.max_radius, mass_t), 0.0)
+
+    follow_c = strength_to_compliance(cfg.follow_strength, sub_dt)
+    collision_c = strength_to_compliance(cfg.collision_strength, sub_dt)
+    cohesion_c = strength_to_compliance(cfg.cohesion_strength, sub_dt)
+    cell_size, params = _dense_params(cfg, act, collision_c, cohesion_c, options)
+    tx, ty, td = follow_rows[:, 0], follow_rows[:, 1], 2.0 * follow_rows[:, 2]
+    drift_thresh2 = (0.25 * cell_size) ** 2
+
+    def bin_now(p, v):
+        xy, prev, stat, follow, slot = _bin_components(
+            p, v, inv_mass, radius, batch_slot, act, cell_size,
+            tx, ty, td, sub_dt, g, k, use_placement,
+            occ_cap=options.occ_pressure_cap)
+        return xy, prev, stat, follow, slot, xy
+
+    def merge(xy, prev, stat, slot, fb_p, fb_prev, fb_v):
+        p_pl, prev_pl, v_pl, in_grid = _comp_extract(xy, prev, stat, slot,
+                                                     g, lanes, sub_dt)
+        sel = (in_grid & act)[:, None]
+        return (jnp.where(sel, p_pl, fb_p), jnp.where(sel, prev_pl, fb_prev),
+                jnp.where(sel, v_pl, fb_v))
+
+    def fb_one(p, v):
+        v = v * damp
+        pr = p
+        p = p + sub_dt * v
+        fdx, fdy = _follow_delta(p[:, 0], p[:, 1], inv_mass, act,
+                                 tx, ty, td, follow_c)
+        p = p + jnp.stack([fdx, fdy], axis=1)
+        return p, pr, (p - pr) / sub_dt
+
+    def body(carry):
+        (xy, prev, stat, follow, slot, ref_xy,
+         fb_p, fb_prev, fb_v, fb_ref, wide) = carry
+        n_over, _, mxy = _comp_drift_over(xy, stat[3], ref_xy, drift_thresh2)
+        dropped = act & (slot >= g * lanes)
+        dfb = fb_p - fb_ref - mxy
+        n_over = n_over + jnp.sum(
+            dropped & (jnp.sum(dfb * dfb, axis=1) > drift_thresh2))
+        n_live = jnp.maximum(jnp.sum(act), 1)
+        need = n_over > options.rebin_tolerance * n_live
+
+        def rebin(c):
+            xy, prev, stat, follow, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref = c
+            p, pr, v = merge(xy, prev, stat, slot, fb_p, fb_prev, fb_v)
+            xy2, prev2, stat2, follow2, slot2, ref2 = bin_now(p, v)
+            return (xy2, prev2, stat2, follow2, slot2, ref2, p, pr, v, p)
+
+        (xy, prev, stat, follow, slot, ref_xy, fb_p, fb_prev, fb_v,
+         fb_ref) = jax.lax.cond(
+            need, rebin, lambda c: c,
+            (xy, prev, stat, follow, slot, ref_xy, fb_p, fb_prev, fb_v,
+             fb_ref))
+        (xy, prev, fb_p, fb_prev, fb_v, wide) = _fused_adaptive_run(
+            xy, prev, stat, follow, fb_p, fb_prev, fb_v, fb_one, act,
+            cell_size, damp, follow_c, params, sub_dt, relaxation, options,
+            g, k, n_sub, cohesion=cohesion, wide=wide)
+        return (xy, prev, stat, follow, slot, ref_xy, fb_p, fb_prev, fb_v,
+                fb_ref, wide)
+
+    xy, prev, stat, follow, slot, ref_xy = bin_now(pos, vel)
+    ws0 = wide_state if wide_state is not None else wide_state_init(options)
+    carry = (xy, prev, stat, follow, slot, ref_xy, pos, pos, vel, pos, ws0)
+    carry = jax.lax.fori_loop(0, n_steps, lambda _, c: body(c), carry)
+    (xy, prev, stat, follow, slot, ref_xy, fb_p, fb_prev, fb_v, fb_ref,
+     ws) = carry
+    p, pr, v = merge(xy, prev, stat, slot, fb_p, fb_prev, fb_v)
+    # zero-substep safety is free here: prev encodes the input velocity at
+    # bin time, so the derived velocity is exact at any n_steps
+    return p, pr, v, inv_mass, radius, ws
+
+
 def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
                             follow_rows, sub_dt, relaxation,
                             options: SolverOptions, g: int, k: int,
@@ -924,6 +1205,10 @@ def _population_multi_dense(pos, vel, mass_t, batch_slot, act, cfg,
     ``budget_mode='off'`` (the ordered prefix would need a per-pass global
     recount) and ``dense_rebin='step'``.
     """
+    if _fused_component_path(options):
+        return _population_multi_dense_fused(
+            pos, vel, mass_t, batch_slot, act, cfg, follow_rows, sub_dt,
+            relaxation, options, g, k, n_steps, wide_state=wide_state)
     from .pallas import place_kernel
     assert options.budget_mode == "off" and options.dense_rebin == "step"
     lanes = g * k
@@ -1281,19 +1566,56 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
             cell_size=cell_size, params=params,
             tx=rows3[:, 0], ty=rows3[:, 1], td=2.0 * rows3[:, 2]))
 
+    fused = _fused_component_path(options)
+
     def bin_now(p, v, pp):
+        """-> (grid_state, slot); grid_state is engine-specific (fused
+        component tuple vs legacy planes/aux)."""
+        if fused:
+            xy, prev, stat, follow, slot = _bin_components(
+                p, v, pp["inv_mass"], pp["radius"], pp["batch_slot"],
+                pp["act"], pp["cell_size"], pp["tx"], pp["ty"], pp["td"],
+                sub_dt, pp["g"], pp["k"], use_placement,
+                occ_cap=options.occ_pressure_cap)
+            return (xy, prev, stat, follow), slot
         aux_cols = jnp.stack([p[:, 0], p[:, 1], v[:, 0], v[:, 1],
                               pp["tx"], pp["ty"], pp["td"]], axis=1)
         binning = dense_ops.bin_to_planes(
             p, pp["inv_mass"], pp["radius"], pp["batch_slot"], pp["act"],
             pp["cell_size"], grid_dim=pp["g"], slots_per_cell=pp["k"],
             aux_cols=aux_cols, use_placement=use_placement, rotate=True)
-        return binning.planes, binning.aux, binning.slot, binning.planes[:2]
+        return (binning.planes, binning.aux), binning.slot
 
-    def merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp):
+    def run_sub(grid, fb_p, fb_prev, fb_v, pp, wide):
+        """One fixed step's substeps on the engine-specific grid state."""
+        if fused:
+            xy, prev, stat, follow = grid
+            xy, prev, fb_p, fb_prev, fb_v, wide = _fused_adaptive_run(
+                xy, prev, stat, follow, fb_p, fb_prev, fb_v,
+                lambda p, v: fb_one(p, v, pp), pp["act"], pp["cell_size"],
+                pp["damp"], pp["follow_c"], pp["params"], sub_dt,
+                relaxation, options, pp["g"], pp["k"], n_sub,
+                cohesion=cohesion, wide=wide)
+            return (xy, prev, stat, follow), fb_p, fb_prev, fb_v, wide
+        planes, aux = grid
+        planes, aux, fb_p, fb_prev, fb_v, wide = _adaptive_substep_run(
+            planes, aux, fb_p, fb_prev, fb_v,
+            lambda p, v: fb_one(p, v, pp), pp["act"], pp["cell_size"],
+            pp["damp"], pp["follow_c"], pp["params"], sub_dt, relaxation,
+            options, pp["g"], pp["k"], n_sub,
+            cohesion=cohesion, ordered=False, wide=wide)
+        return (planes, aux), fb_p, fb_prev, fb_v, wide
+
+    def merge(grid, slot, fb_p, fb_prev, fb_v, pp):
         # derived velocity (always called right after a substep run)
-        p_pl, prev_pl, v_pl, in_grid = _plane_extract(
-            planes, aux, slot, pp["g"], pp["g"] * pp["k"], sub_dt=sub_dt)
+        if fused:
+            xy, prev, stat, _follow = grid
+            p_pl, prev_pl, v_pl, in_grid = _comp_extract(
+                xy, prev, stat, slot, pp["g"], pp["g"] * pp["k"], sub_dt)
+        else:
+            planes, aux = grid
+            p_pl, prev_pl, v_pl, in_grid = _plane_extract(
+                planes, aux, slot, pp["g"], pp["g"] * pp["k"], sub_dt=sub_dt)
         sel = (in_grid & pp["act"])[:, None]
         return (jnp.where(sel, p_pl, fb_p), jnp.where(sel, prev_pl, fb_prev),
                 jnp.where(sel, v_pl, fb_v))
@@ -1314,19 +1636,14 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         Order: plane step -> extract (the render needs it anyway) -> rebin
         FROM the extracted arrays if drift demands (so next frame's step
         runs on fresh bins without a second extraction)."""
-        planes, aux, slot, ref_p, fb_p, fb_prev, fb_v, _last_p, wide = c
+        grid, slot, ref_p, fb_p, fb_prev, fb_v, _last_p, wide = c
         # position at frame start (= previous frame's merged extraction) is
         # this frame's ``last_pos`` — the whole-step interpolation anchor the
         # reference snapshots in update_last_positions (:1795-1818)
         pre_p = fb_p
-        (planes, aux, fb_p, fb_prev, fb_v, wide) = (
-            _adaptive_substep_run(
-                planes, aux, fb_p, fb_prev, fb_v,
-                lambda p, v: fb_one(p, v, pp), pp["act"], pp["cell_size"],
-                pp["damp"], pp["follow_c"], pp["params"], sub_dt, relaxation,
-                options, pp["g"], pp["k"], n_sub,
-                cohesion=cohesion, ordered=False, wide=wide))
-        p, pr, v = merge(planes, aux, slot, fb_p, fb_prev, fb_v, pp)
+        grid, fb_p, fb_prev, fb_v, wide = run_sub(grid, fb_p, fb_prev, fb_v,
+                                                  pp, wide)
+        p, pr, v = merge(grid, slot, fb_p, fb_prev, fb_v, pp)
 
         # relative-to-mean drift vs bin-time positions (per particle)
         thresh2 = (0.25 * pp["cell_size"]) ** 2
@@ -1339,14 +1656,14 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         n_over = jnp.sum(act & (rel2 > thresh2))
 
         def rebin(op):
-            planes, aux, slot, ref_p = op
-            planes2, aux2, slot2, _ = bin_now(p, v, pp)
-            return (planes2, aux2, slot2, p)
+            grid, slot, ref_p = op
+            grid2, slot2 = bin_now(p, v, pp)
+            return (grid2, slot2, p)
 
-        planes, aux, slot, ref_p = jax.lax.cond(
+        grid, slot, ref_p = jax.lax.cond(
             n_over > options.rebin_tolerance * n_live,
-            rebin, lambda op: op, (planes, aux, slot, ref_p))
-        return ((planes, aux, slot, ref_p, p, pr, v, pre_p, wide),
+            rebin, lambda op: op, (grid, slot, ref_p))
+        return ((grid, slot, ref_p, p, pr, v, pre_p, wide),
                 (p, pr, v, pre_p))
 
     # frame_fn may take (state, stats) or (state, stats, frame_index) — the
@@ -1392,8 +1709,8 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
         i, cap = pp["i"], pp["cap"]
         p0 = state.pos[i, :cap]
         v0 = state.vel[i, :cap]
-        planes, aux, slot, _ = bin_now(p0, v0, pp)
-        init_pops.append((planes, aux, slot, p0, p0, p0, v0, p0,
+        grid, slot = bin_now(p0, v0, pp)
+        init_pops.append((grid, slot, p0, p0, p0, v0, p0,
                           wide_state[i] if wide_state is not None
                           else wide_state_init(options)))
     n_a0 = jnp.maximum(jnp.sum(active_full, axis=1), 1)
@@ -1406,7 +1723,7 @@ def multi_step_frames(state: ParticleState, cfg2: DeviceConfig, step_delta,
     ws_out = []
     for pp, c in zip(pops, pop_carries):
         i, cap = pp["i"], pp["cap"]
-        planes, aux, slot, ref_p, p, pr, v, last_p, ws = c
+        grid, slot, ref_p, p, pr, v, last_p, ws = c
         ws_out.append(ws)
         new_state = new_state.replace(
             pos=new_state.pos.at[i, :cap].set(p),
