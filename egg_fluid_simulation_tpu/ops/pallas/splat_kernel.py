@@ -125,6 +125,137 @@ def _make_kernel(tg: int, th: int, tw: int, n_chunks: int, ntx: int,
     return kernel
 
 
+def _make_kernel_v2(tg: int, th: int, tw: int, w_bins: int, kp: int,
+                    n_f: int, ntx: int, max_splat_px: int, use_rgb: bool):
+    """Bin-major candidate layout: cand block (tg, W, F, Kp).
+
+    Chunks of 128 candidate lanes are assembled from the per-bin payload
+    blocks — 2 bins when Kp == 64, 1 when Kp == 128, half a bin when
+    Kp == 256 — so no XLA-side transpose or re-chunking exists at all.
+    The caller count-sorts each tile's window bins DESCENDING by occupancy,
+    which makes "all remaining bins empty" a prefix property: ``trips``
+    bounds the chunk loop exactly like the slot-major layout did.
+    """
+    gauss = _GAUSS_COEFF
+    icap = 1.0 / float(max_splat_px)
+    assert kp in (8, 16, 32, 64, 128, 256)
+    bins_per_chunk = _CHUNK // kp         # >= 2, 1, or 0 (-> half-bin chunks)
+
+    def kernel(trips_ref, cand_ref, out_a_ref, *rest):
+        if use_rgb:
+            out_rgb_ref = rest[0]
+        i = pl.program_id(0)
+        py_g = jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw, 1), 0).astype(jnp.float32) + 0.5
+        px_g = jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw, 1), 1).astype(jnp.float32) + 0.5
+
+        for t in range(tg):
+            tid = i * tg + t
+            ty = tid // ntx
+            tx = tid % ntx
+            px = px_g + (tx * tw).astype(jnp.float32)
+            py = py_g + (ty * th).astype(jnp.float32)
+
+            def field(c, j):
+                """(1, 1, 128) candidate lane vector of field j, chunk c."""
+                if bins_per_chunk >= 2:       # kp < 128: concat whole bins
+                    parts = [cand_ref[t, bins_per_chunk * c + u, j, :]
+                             for u in range(bins_per_chunk)]
+                    return jnp.concatenate(parts)[None, None, :]
+                if kp == _CHUNK:              # one bin per chunk
+                    return cand_ref[t, c, j, :][None, None, :]
+                half = c % 2                  # kp == 256: half a bin
+                return cand_ref[t, c // 2, j,
+                                half * _CHUNK:(half + 1) * _CHUNK][None,
+                                                                   None, :]
+
+            def chunk_body(c, carry):
+                acc = carry[0]
+                pcx, pcy, ca, sa = (field(c, 0), field(c, 1), field(c, 2),
+                                    field(c, 3))
+                isx, isy, ap = field(c, 6), field(c, 7), field(c, 8)
+                cax, sax = ca * isx, sa * isx
+                cay, say = ca * isy, sa * isy
+                dx = px - pcx
+                dy = py - pcy
+                nx = dx * cax + dy * sax
+                ny = dy * cay - dx * say
+                r2 = nx * nx + ny * ny
+                m = jnp.maximum(
+                    jnp.maximum(jnp.abs(nx), jnp.abs(ny)),
+                    icap * jnp.maximum(jnp.abs(dx), jnp.abs(dy)))
+                g = jnp.where(m <= 1.0, jnp.exp(-gauss * r2) * ap, 0.0)
+                acc = acc * (1.0 - g)
+                if use_rgb:
+                    # per-channel screen blend of g * rgb — the reference's
+                    # experimental use_particle_color mode (test.lua:25-67)
+                    return (acc,) + tuple(
+                        carry[1 + ch] * (1.0 - g * field(c, 9 + ch))
+                        for ch in range(3))
+                return (acc,)
+
+            n_acc = 4 if use_rgb else 1
+            init = tuple(jnp.ones((th, tw, _CHUNK), jnp.float32)
+                         for _ in range(n_acc))
+            accs = jax.lax.fori_loop(0, trips_ref[tid], chunk_body, init)
+            w = _CHUNK
+            while w > 1:
+                w //= 2
+                accs = tuple(a[..., :w] * a[..., w:2 * w] for a in accs)
+            out_a_ref[t] = 1.0 - accs[0][..., 0]
+            if use_rgb:
+                out_rgb_ref[t] = 1.0 - jnp.stack(
+                    [accs[1 + ch][..., 0] for ch in range(3)], axis=-1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("th", "tw", "ntx",
+                                             "max_splat_px", "use_rgb",
+                                             "interpret"))
+def splat_tiles_v2(cand: jnp.ndarray, trips: jnp.ndarray, th: int, tw: int,
+                   ntx: int, max_splat_px: int, use_rgb: bool = False,
+                   interpret: bool = False):
+    """(n_tiles, th, tw) splat alpha from BIN-MAJOR candidate payload.
+
+    ``cand``: (n_tiles, W, F, Kp) — per tile, its (count-sorted) window
+    bins' payload blocks, fields pre-transposed so candidates are the minor
+    axis; Kp in {64, 128, 256}. ``trips``: (n_tiles,) i32 chunk bound per
+    tile (bins beyond it are empty — the caller's count sort guarantees the
+    prefix property). With ``use_rgb`` a second (n_tiles, th, tw, 3) output
+    carries the per-particle-color accumulation and F >= 12.
+    """
+    n_tiles, w_bins, n_f, kp = cand.shape
+    assert (w_bins * kp) % _CHUNK == 0
+    tg = _TILE_GROUP
+    while n_tiles % tg:
+        tg //= 2
+
+    kernel = _make_kernel_v2(tg, th, tw, w_bins, kp, n_f, ntx,
+                             max_splat_px, use_rgb)
+    out_shape = [jax.ShapeDtypeStruct((n_tiles, th, tw), jnp.float32)]
+    out_specs = [pl.BlockSpec((tg, th, tw), lambda i: (i, 0, 0))]
+    if use_rgb:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles, th, tw, 3), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((tg, th, tw, 3), lambda i: (i, 0, 0, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles // tg,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((tg, w_bins, n_f, kp),
+                               lambda i: (i, 0, 0, 0))],
+        out_specs=out_specs if use_rgb else out_specs[0],
+        out_shape=out_shape if use_rgb else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(trips, cand)
+    return out if use_rgb else (out, None)
+
+
 @functools.partial(jax.jit, static_argnames=("th", "tw", "ntx",
                                              "max_splat_px", "interpret"))
 def splat_tiles(cand: jnp.ndarray, trips: jnp.ndarray, th: int, tw: int,

