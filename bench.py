@@ -82,12 +82,19 @@ def emit(stage: str, results: dict, final: bool = False) -> None:
     print(json.dumps(out), flush=True)
 
 
-def build_handler(n_target: int, canvas_size=None):
+def build_handler(n_target: int, canvas_size=None, wide_default=False,
+                  spatial=0):
     """Oracle-anchored, alias-free multi-batch scene of ~n_target whites.
 
     2000-white batches (the oracle-equilibrium gate's size) tiled at a
     spacing that fits the settled scene inside every torus: white cell 8 px,
     yolk cell 12 px (reference :1756-1760), grids chosen per scale below.
+
+    ``wide_default=True`` ships the CONSTRUCTOR-DEFAULT wide-sweep machinery
+    (wide_budget_substeps=240) instead of the headline's static disable, so
+    the shipped interactive path has a driver-verified number (VERDICT r4
+    weak #5). ``spatial=n`` builds a SpatialHandler on an (n x 1) mesh with
+    the SHARED grid the spatial layout requires.
     """
     import jax.numpy as jnp  # noqa: F401 — ensures backend selection first
     from egg_fluid_simulation_tpu import (SimulationHandler, SolverOptions,
@@ -122,23 +129,39 @@ def build_handler(n_target: int, canvas_size=None):
 
     g_w = pick_grid(8.0, per_batch_w * n_batches)
     g_y = pick_grid(12.0, per_batch_y * n_batches)
+    kw = {}
+    if not wide_default:
+        kw["wide_budget_substeps"] = 0  # static disable — module docstring
+    if spatial:
+        # the spatial layout shares ONE torus across populations
+        g_w = g_y = max(g_w, g_y)
     options = SolverOptions(
         engine="dense", budget_mode="off", dense_rebin="step",
         dense_grid_dim=(g_w, g_y), dense_slots=4,
-        pop_caps=(cap_w, cap_y),
-        wide_budget_substeps=0,  # static disable — see module docstring
-    )
-    h = SimulationHandler(
-        default_white_config(), default_yolk_config(),
-        capacity=max(cap_w, cap_y), max_batches=max(n_batches, 4),
-        options=options, canvas_size=canvas_size)
+        pop_caps=(cap_w, cap_y), **kw)
+    mk = {}
+    if spatial:
+        from egg_fluid_simulation_tpu import SpatialHandler
+        cls = SpatialHandler
+        mk = dict(db=spatial, dx=1)
+    else:
+        cls = SimulationHandler
+    h = cls(default_white_config(), default_yolk_config(),
+            capacity=max(cap_w, cap_y), max_batches=max(n_batches, 4),
+            options=options, canvas_size=canvas_size, **mk)
 
-    h.add_many([dict(x=float((b % side) * spacing + radius + 32.0),
-                     y=float((b // side) * spacing + radius + 32.0),
-                     white_radius=radius, yolk_radius=radius * 0.3,
-                     white_n_particles=per_batch_w,
-                     yolk_n_particles=per_batch_y)
-                for b in range(n_batches)])
+    specs = [dict(x=float((b % side) * spacing + radius + 32.0),
+                  y=float((b // side) * spacing + radius + 32.0),
+                  white_radius=radius, yolk_radius=radius * 0.3,
+                  white_n_particles=per_batch_w,
+                  yolk_n_particles=per_batch_y)
+             for b in range(n_batches)]
+    if spatial:
+        for s in specs:
+            h.add(s["x"], s["y"], s["white_radius"], s["yolk_radius"],
+                  None, None, s["white_n_particles"], s["yolk_n_particles"])
+    else:
+        h.add_many(specs)
     return h
 
 
@@ -265,6 +288,117 @@ def step_render_ms(h, chain: int, n_trials: int):
     return ms, n_dropped
 
 
+def render_only_ms(h, chain: int, n_trials: int, post_mode: str):
+    """Direct render-only chain: ``chain`` full-pipeline frames of the
+    CURRENT state at varying interpolation alpha, one dispatch (VERDICT r4
+    weak #3 — the headline's render figure was a derived subtraction)."""
+    import jax
+    import jax.numpy as jnp
+    from egg_fluid_simulation_tpu.ops import render as render_ops
+
+    old_mode = h._render_post_mode
+    h._render_post_mode = post_mode
+    try:
+        opts2 = render_ops.frame_options(h)
+        view = float(max(o.canvas_size for o in opts2))
+        center = np.asarray(h.stats.centroid[0])
+        origin = jnp.asarray(center - view / 2.0, jnp.float32)
+        vw = vh = int(view)
+        cfg2 = h._device_cfg2()
+        thr = jnp.float32(h._thresholding_threshold)
+        smooth = jnp.float32(h._thresholding_smoothness)
+        use_lighting = bool(h._use_lighting)
+        alphas = jnp.asarray(np.linspace(0.15, 1.0, chain), jnp.float32)
+        state, stats = h.state, h.stats
+
+        @jax.jit
+        def loop(state, stats):
+            def body(acc, a):
+                frame, _, _ = render_ops._render_frame(
+                    state, stats, cfg2, a, thr, smooth, origin, opts2,
+                    use_lighting, vw, vh, pop_caps=h._options.pop_caps)
+                return acc + jnp.sum(frame), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), alphas)
+            return acc
+
+        def run():
+            jax.device_get(loop(state, stats))
+
+        ms = median_ms(run, n_trials) / chain
+
+        # one frame for the cross-mode error figure
+        frame, _, _ = render_ops._render_frame(
+            state, stats, cfg2, jnp.float32(1.0), thr, smooth, origin,
+            opts2, use_lighting, vw, vh, pop_caps=h._options.pop_caps)
+        return ms, np.asarray(frame)
+    finally:
+        h._render_post_mode = old_mode
+
+
+def extra_stages(h, results: dict, quick: bool) -> None:
+    """Post-headline stages: user-facing configurations (VERDICT r4 #4/#6).
+
+    Each stage emits its own line, so a timeout mid-stage still leaves the
+    headline parseable (the final line is re-emitted after all stages).
+    """
+    import jax
+
+    # (a) direct render-only chain at the shipped coarse mode, plus the
+    # full-resolution post mode and the measured coarse-vs-full error
+    try:
+        ms_c, frame_c = render_only_ms(h, chain=8, n_trials=2,
+                                       post_mode="coarse")
+        results["render_only_ms_coarse"] = round(ms_c, 3)
+        ms_f, frame_f = render_only_ms(h, chain=8, n_trials=2,
+                                       post_mode="full")
+        results["render_only_ms_full"] = round(ms_f, 3)
+        results["coarse_vs_full_max_err"] = round(
+            float(np.abs(frame_c - frame_f).max()), 4)
+        results["coarse_vs_full_mean_err"] = round(
+            float(np.abs(frame_c - frame_f).mean()), 5)
+        emit("render_modes", results)
+    except Exception as e:  # noqa: BLE001 — keep later stages alive
+        results["render_modes_error"] = f"{type(e).__name__}: {e}"
+        emit("render_modes", results)
+
+    # (b) the CONSTRUCTOR-DEFAULT solver options (wide-sweep machinery
+    # enabled, wide_budget_substeps=240) on the same scene — what an
+    # interactive user's step costs at scale
+    try:
+        n_def = 65_536 if quick else 1_000_000
+        hd = build_handler(n_def, wide_default=True)
+        hd.run_steps(120)
+        ms = step_ms(hd, chain=10, n_trials=2)
+        results["step_ms_1m_default_opts"] = round(ms, 3)
+        emit("1m_step_default", results)
+        del hd
+    except Exception as e:  # noqa: BLE001
+        results["default_opts_error"] = f"{type(e).__name__}: {e}"
+        emit("1m_step_default", results)
+
+    # (c) the spatial engine on a degenerate 1x1 mesh on the REAL chip —
+    # the sharded code path (shard_map, halos-as-self-copies, migration
+    # buffers, local Pallas sweep) against the dense engine on the same
+    # scene (SURVEY §7 step 8; VERDICT r4 weak #6)
+    try:
+        n_sp = 65_536
+        hs = build_handler(n_sp, spatial=1)
+        hs.run_steps(60)
+        ms_sp = step_ms(hs, chain=20, n_trials=2)
+        del hs
+        hd2 = build_handler(n_sp)
+        hd2.run_steps(60)
+        ms_dn = step_ms(hd2, chain=20, n_trials=2)
+        del hd2
+        results["spatial_1x1_step_ms_65k"] = round(ms_sp, 3)
+        results["dense_step_ms_65k"] = round(ms_dn, 3)
+        results["spatial_1x1_vs_dense"] = round(ms_sp / max(ms_dn, 1e-9), 3)
+        emit("spatial_1x1", results)
+    except Exception as e:  # noqa: BLE001
+        results["spatial_error"] = f"{type(e).__name__}: {e}"
+        emit("spatial_1x1", results)
+
+
 def spatial_mode() -> None:
     """``--spatial``: run the SpatialHandler benchmark on a virtual CPU mesh
     in a clean subprocess (the TPU interpreter is pinned single-chip)."""
@@ -327,7 +461,13 @@ def main() -> None:
     results["render_ms_1m"] = round(ms - results["step_ms_1m"], 3)
     results["render_overflow_dropped"] = n_dropped
     results.update(drop_stats(h))  # settled drop rate AFTER the timed frames
-    emit("1m_step_render", results, final=True)
+    emit("1m_step_render", results)
+
+    # ---- stages 4+: user-facing configurations; the complete headline
+    # line is re-emitted LAST so the driver's parsed record carries every
+    # stage's fields ----
+    extra_stages(h, results, quick)
+    emit("final", results, final=True)
 
 
 if __name__ == "__main__":
