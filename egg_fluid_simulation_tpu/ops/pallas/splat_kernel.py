@@ -166,9 +166,11 @@ def _make_kernel_v2(tg: int, th: int, tw: int, w_bins: int, kp: int,
                 if kp == _CHUNK:              # one bin per chunk
                     return cand_ref[t, c, j, :][None, None, :]
                 half = c % 2                  # kp == 256: half a bin
+                # a traced-bound python slice fails tracing — use pl.ds with
+                # a provable 128-alignment (half is 0 or 1)
+                start = pl.multiple_of(half * _CHUNK, _CHUNK)
                 return cand_ref[t, c // 2, j,
-                                half * _CHUNK:(half + 1) * _CHUNK][None,
-                                                                   None, :]
+                                pl.ds(start, _CHUNK)][None, None, :]
 
             def chunk_body(c, carry):
                 acc = carry[0]

@@ -681,7 +681,11 @@ def _load_window(hbm, scratch, sem, i, b: int, g: int):
 
     @pl.when((i > 0) & (i < nb - 1))
     def _interior():
-        c = pltpu.make_async_copy(hbm.at[:, pl.ds(i * b - p, b + 2 * p)],
+        # i*b - p is a multiple of 8 (b and p both are), but Mosaic cannot
+        # prove divisibility through the subtraction — assert it, or the
+        # TPU lowering fails with "tile index ... divisible by the tiling".
+        start = pl.multiple_of(i * b - p, 8)
+        c = pltpu.make_async_copy(hbm.at[:, pl.ds(start, b + 2 * p)],
                                   scratch, sem)
         c.start()
         c.wait()

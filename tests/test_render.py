@@ -309,6 +309,37 @@ def test_pallas_splat_kernel_matches_scan_path():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("capacity", [128, 200])
+def test_pallas_splat_kernel_large_capacity_chunk_paths(capacity):
+    """kp == 128 (one bin per chunk) and kp == 256 (half-bin chunks with a
+    dynamic pl.ds start — round-5 TPU trace fix) must match the scan path;
+    the small-capacity tests only cover the concat path (kp < 128)."""
+    rng = np.random.default_rng(11)
+    n, canvas = 400, 128
+    positions = rng.uniform(12.0, 116.0, (n, 2)).astype(np.float32)
+    opts = R.RenderOptions(canvas_size=canvas, tile_h=8, tile_w=16,
+                           bin_h=8, bin_w=16, max_splat_px=12,
+                           tile_capacity=capacity)
+    p = jnp.asarray(positions)
+    v = jnp.zeros((n, 2), jnp.float32)
+    r = jnp.asarray(rng.uniform(0.5, 1.2, (n,)), jnp.float32)
+    c = jnp.concatenate(
+        [jnp.ones((n, 3)), jnp.asarray(rng.uniform(0.3, 1.0, (n, 1)))],
+        axis=1).astype(jnp.float32)
+    act = jnp.ones((n,), bool)
+    center = jnp.asarray([64.0, 64.0], jnp.float32)
+    args = (p, p, v, r, c, act, center, jnp.float32(1.0),
+            jnp.float32(8.0), jnp.float32(0.0), opts)
+
+    ref, _, _ = R.splat_population(*args, use_pallas=False)
+    payload, _, counts = R._splat_payload(*args)
+    nb = R._tile_bins(opts)
+    got, _ = R._splat_alpha_kernel(payload, nb, opts, counts=counts,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_splat_kernel_particle_color_matches_scan_path():
     """The per-particle-color mode must ride the Pallas kernel (rgb
     accumulators) and reproduce the jnp scan path (the reference's
