@@ -39,11 +39,16 @@ class DemoState:
     """Interactive-equivalent demo driver with programmatic 'keys'."""
 
     def __init__(self, width: int = 800, height: int = 600, seed: int = 0,
-                 spatial=None, **handler_kwargs):
+                 spatial=None, use_particle_color: bool = False,
+                 **handler_kwargs):
         """``spatial=(db, dx)`` runs the session on a multi-chip
         :class:`~..parallel.spatial_handler.SpatialHandler` over a
         ``db x dx`` device mesh (same public API, sharded step + render);
-        default is the single-chip :class:`SimulationHandler`."""
+        default is the single-chip :class:`SimulationHandler`.
+        ``use_particle_color`` mirrors the reference demo's experimental
+        per-particle rgb accumulation toggle (test.lua:26) — colors
+        persist per particle at spawn/recolor time and ride the splat
+        kernel's rgb accumulators."""
         self.width, self.height = width, height
         self.rng = random.Random(seed)
         handler_kwargs.setdefault("capacity", 8192)
@@ -57,6 +62,10 @@ class DemoState:
             self.handler = SimulationHandler(config_mod.default_white_config(),
                                              config_mod.default_yolk_config(),
                                              **handler_kwargs)
+        # the experimental toggle is a pre-spawn attribute poke in the
+        # reference too (test.lua:26) — it must precede add() so spawn
+        # colors materialize as per-particle arrays
+        self.handler._use_particle_color = bool(use_particle_color)
         # the reference demo shrinks particles before spawning (test.lua:56-66)
         self.handler.set_yolk_config({"min_radius": 0.5, "max_radius": 1.0})
         self.handler.set_white_config({"min_radius": 1.5, "max_radius": 2.0})
@@ -194,6 +203,9 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--capacity", type=int, default=8192,
                     help="particle capacity (smaller = faster first compile)")
+    ap.add_argument("--particle-color", action="store_true",
+                    help="per-particle rgb accumulation (the reference "
+                         "demo's experimental mode, test.lua:25-67)")
     ap.add_argument("--spatial", type=str, default=None, metavar="DBxDX",
                     help="run on a db x dx spatial device mesh (e.g. 2x2); "
                          "re-execs on a virtual CPU mesh when the current "
@@ -236,5 +248,6 @@ if __name__ == "__main__":
                  *(a for a in sys.argv[1:])], env=env).returncode)
         spatial = (db, dx)
     stats = run_demo(frames=args.frames, out_dir=args.out, seed=args.seed,
-                     spatial=spatial, capacity=args.capacity)
+                     spatial=spatial, capacity=args.capacity,
+                     use_particle_color=args.particle_color)
     print(stats)
