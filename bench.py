@@ -18,7 +18,10 @@ per step, so the target, not the reference, is the meaningful bar.
 Honest measurement rules:
   - **Dependence-chained device time.** All timings run N iterations inside
     ONE dispatch and divide; a per-call loop would measure the host<->device
-    round trip (~27 ms on tunneled runtimes), not the work.
+    round trip (~27 ms on tunneled runtimes), not the work. The RTT divides
+    by the chain length, so chains are sized to push that bias below ~1%% of
+    the measured quantity (round-5 finding: chain=10 piece profiles carried
+    a ~2.7 ms/iteration floor that mis-ranked every optimization target).
   - **The scene is oracle-anchored and alias-free.** Batches are the SAME
     2000-particle size the oracle-equilibrium honesty gate measures
     (tests/test_solver_honesty.py), tiled so the settled scene fits inside
@@ -346,10 +349,10 @@ def extra_stages(h, results: dict, quick: bool) -> None:
     # (a) direct render-only chain at the shipped coarse mode, plus the
     # full-resolution post mode and the measured coarse-vs-full error
     try:
-        ms_c, frame_c = render_only_ms(h, chain=8, n_trials=2,
+        ms_c, frame_c = render_only_ms(h, chain=16, n_trials=2,
                                        post_mode="coarse")
         results["render_only_ms_coarse"] = round(ms_c, 3)
-        ms_f, frame_f = render_only_ms(h, chain=8, n_trials=2,
+        ms_f, frame_f = render_only_ms(h, chain=16, n_trials=2,
                                        post_mode="full")
         results["render_only_ms_full"] = round(ms_f, 3)
         results["coarse_vs_full_max_err"] = round(
@@ -368,7 +371,7 @@ def extra_stages(h, results: dict, quick: bool) -> None:
         n_def = 65_536 if quick else 1_000_000
         hd = build_handler(n_def, wide_default=True)
         hd.run_steps(120)
-        ms = step_ms(hd, chain=10, n_trials=2)
+        ms = step_ms(hd, chain=20, n_trials=2)
         results["step_ms_1m_default_opts"] = round(ms, 3)
         emit("1m_step_default", results)
         del hd
@@ -437,7 +440,7 @@ def main() -> None:
     h = build_handler(10_000)
     total10 = sum(h.get_n_particles())
     h.run_steps(settle)
-    ms = step_ms(h, chain=100, n_trials=3)
+    ms = step_ms(h, chain=1000, n_trials=3)
     results["step_ms_10k"] = round(ms, 3)
     results["particle_steps_per_sec_10k"] = round(total10 / ms * 1000, 0)
     emit("10k", results)
@@ -449,14 +452,14 @@ def main() -> None:
     total = sum(h.get_n_particles())
     results["n_particles_headline"] = total
     h.run_steps(settle)
-    ms = step_ms(h, chain=20, n_trials=3)
+    ms = step_ms(h, chain=40, n_trials=3)
     results["step_ms_1m"] = round(ms, 3)
     results["particle_steps_per_sec_1m"] = round(total / ms * 1000, 0)
     results.update(drop_stats(h))
     emit("1m_step", results)
 
     # ---- stage 3: step + render latency (same handler, already settled) ----
-    ms, n_dropped = step_render_ms(h, chain=10, n_trials=3)
+    ms, n_dropped = step_render_ms(h, chain=20, n_trials=3)
     results["step_render_ms_1m"] = round(ms, 3)
     results["render_ms_1m"] = round(ms - results["step_ms_1m"], 3)
     results["render_overflow_dropped"] = n_dropped

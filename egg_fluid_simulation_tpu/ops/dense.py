@@ -228,7 +228,23 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
         h = jnp.bitwise_and(jnp.bitwise_xor(h, jnp.right_shift(h, 15)),
                             jnp.int32(hb - 1))
         key = cell_id * jnp.int32(hb) + h
-        key_sorted, pidx_sorted = jax.lax.sort_key_val(key, idx)
+        if use_placement:
+            # Carry the payload columns THROUGH the sort instead of row-
+            # gathering ``pack[pidx_sorted]`` afterwards: a (N, 13) row
+            # gather costs ~12 ms at 1M (XLA row gathers degrade badly at
+            # 52-byte rows) while a multi-operand sort stays ~2 ms.
+            pay = [pos[:, 0], pos[:, 1], inv_mass, radius,
+                   batch_slot.astype(jnp.float32),
+                   (cum if cum is not None
+                    else jnp.zeros((n,), jnp.float32)),
+                   idx.astype(jnp.float32)]
+            if aux_cols is not None:
+                pay += [aux_cols[:, j] for j in range(aux_cols.shape[1])]
+            sorted_all = jax.lax.sort(tuple([key, idx] + pay), num_keys=1)
+            key_sorted, pidx_sorted = sorted_all[0], sorted_all[1]
+            pay_sorted = list(sorted_all[2:])
+        else:
+            key_sorted, pidx_sorted = jax.lax.sort_key_val(key, idx)
         cid_sorted = key_sorted // jnp.int32(hb)
         # cell occupancy rides along (FIELD_OCC carries the TRUE cell count
         # incl. over-budget members, feeding the sweep's occupancy-pressure
@@ -281,7 +297,16 @@ def bin_to_planes(pos, inv_mass, radius, batch_slot, active, cell_size,
         clamped = jnp.where(cid_sorted < g * g,
                             cid_sorted * k + jnp.minimum(rank, k - 1),
                             g * lanes)
-        pack_sorted = pack[pidx_sorted]                    # (N, F) sorted rows
+        if rotate:
+            # payload columns rode the sort; FIELD_OCC (true cell count,
+            # zero for inactive) assembles directly from the sorted-order
+            # counts — no row gather at all
+            occ_sorted = jnp.where(cid_sorted < g * g,
+                                   cnt_sorted.astype(jnp.float32), 0.0)
+            pack_sorted = jnp.stack(
+                pay_sorted[:7] + [occ_sorted] + pay_sorted[7:], axis=1)
+        else:
+            pack_sorted = pack[pidx_sorted]                # (N, F) sorted rows
         all_planes = place_kernel.place_planes(slot_sorted, pack_sorted, g, k,
                                                interpret=interpret,
                                                search_key=clamped)

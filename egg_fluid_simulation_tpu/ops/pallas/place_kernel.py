@@ -54,44 +54,70 @@ def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _make_kernel(sub: int, win: int):
+def _make_kernel(sub: int, win: int, ch: int):
+    """One program = ``ch`` consecutive 512-slot chunks, double-buffered:
+    chunk j+1's window DMA flies while chunk j's one-hot matmul runs. The
+    one-chunk-per-program form serialized 4.6k DMA start/wait pairs against
+    the MXU (~6 ms of exposed issue latency at the 1M headline)."""
     def kernel(starts_ref, pack_hbm, out_ref, scratch, sem):
-        c = pl.program_id(0)
-        start = starts_ref[c]
-        aligned = (start // _ALIGN) * _ALIGN
-        dma = pltpu.make_async_copy(
-            pack_hbm.at[:, pl.ds(aligned, win)], scratch, sem)
-        dma.start()
-        dma.wait()
-        window = scratch[:]                                 # (F, win)
-        o0 = (c * sub).astype(jnp.float32)
-        # slots are exact integers in f32 (< 2^24); compare in int32
-        # (Mosaic iota is integer-only)
-        offs = (window[SLOT_COL] - o0).astype(jnp.int32)    # (win,)
-        col = jax.lax.broadcasted_iota(jnp.int32, (win, sub), 1)
-        onehot = (offs[:, None] == col).astype(jnp.bfloat16)  # (j, o)
+        s = pl.program_id(0)
 
-        # The payload must survive the MXU EXACTLY (positions feed physics;
-        # an f32 matmul may silently run at bf16 under
-        # --xla_allow_excess_precision, which was observed to quantize
-        # positions to ~16px and blow the solver up). Provably exact path:
-        # bitcast f32 -> 4 bytes, four bf16 one-hot matmuls (8-bit integers
-        # and {0,1} are exact in bf16; each output selects at most one
-        # entry, so no summation error), reassemble the bits.
-        bits = pltpu.bitcast(window, jnp.int32)
-        acc = None
-        for byte in range(4):
-            b = jnp.bitwise_and(
-                jax.lax.shift_right_logical(bits, 8 * byte), 0xFF)
-            placed = jax.lax.dot_general(
-                b.astype(jnp.bfloat16), onehot,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (F, o) exact ints
-            shifted = jax.lax.shift_left(placed.astype(jnp.int32), 8 * byte)
-            acc = shifted if acc is None else jnp.bitwise_or(acc, shifted)
-        out_ref[:, :] = pltpu.bitcast(acc, jnp.float32)
+        def get_dma(slot, j):
+            start = starts_ref[s * ch + j]
+            aligned = (start // _ALIGN) * _ALIGN
+            return pltpu.make_async_copy(
+                pack_hbm.at[:, pl.ds(aligned, win)],
+                scratch.at[slot], sem.at[slot])
 
+        get_dma(0, 0).start()
+        for j in range(ch):                                 # static unroll
+            if j + 1 < ch:
+                get_dma((j + 1) % 2, j + 1).start()
+            get_dma(j % 2, j).wait()
+            _place_chunk(scratch[j % 2], starts_ref, s * ch + j, sub,
+                         out_ref, j)
     return kernel
+
+
+def _place_chunk(window, starts_ref, c, sub: int, out_ref, j: int):
+    """Place one 512-slot chunk from its VMEM ``window`` into output
+    columns [j*sub, (j+1)*sub)."""
+    win = window.shape[1]
+    o0 = (c * sub).astype(jnp.float32)
+    # slots are exact integers in f32 (< 2^24); compare in int32
+    # (Mosaic iota is integer-only)
+    offs = (window[SLOT_COL] - o0).astype(jnp.int32)        # (win,)
+    col = jax.lax.broadcasted_iota(jnp.int32, (win, sub), 1)
+    onehot = (offs[:, None] == col).astype(jnp.bfloat16)    # (j, o)
+
+    # The payload must survive the MXU EXACTLY (positions feed physics;
+    # an f32 matmul may silently run at bf16 under
+    # --xla_allow_excess_precision, which was observed to quantize
+    # positions to ~16px and blow the solver up). Provably exact path:
+    # bitcast f32 -> 4 bytes, one-hot match each byte plane (8-bit
+    # integers and {0,1} are exact in bf16; each output selects at most
+    # one entry, so no summation error), reassemble the bits. The four
+    # byte planes STACK ALONG M into a single (4F, win) x (win, sub)
+    # matmul: same FLOPs as four (F, win) passes, but M=64 instead of
+    # M=16 lifts MXU row utilization 12.5% -> 50% (measured 11.4 -> 9.3 ms
+    # at the 1M headline; the rest was the serialized DMA this kernel's
+    # double buffering removes).
+    bits = pltpu.bitcast(window, jnp.int32)
+    w4 = jnp.concatenate(
+        [jnp.bitwise_and(jax.lax.shift_right_logical(bits, 8 * byte),
+                         0xFF)
+         for byte in range(4)], axis=0).astype(jnp.bfloat16)  # (4F, win)
+    placed = jax.lax.dot_general(
+        w4, onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (4F, o) exact ints
+    f = window.shape[0]
+    acc = None
+    for byte in range(4):
+        part = placed[byte * f:(byte + 1) * f].astype(jnp.int32)
+        shifted = jax.lax.shift_left(part, 8 * byte)
+        acc = shifted if acc is None else jnp.bitwise_or(acc, shifted)
+    out_ref[:, j * sub:(j + 1) * sub] = pltpu.bitcast(acc, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("g", "k", "win", "interpret"))
@@ -101,16 +127,20 @@ def _place_pallas(pack_t, starts, g: int, k: int, win: int,
     total = g * lanes
     sub = min(_SUB, lanes)
     assert total % sub == 0
+    n_chunks = total // sub
+    ch = 8
+    while n_chunks % ch:
+        ch //= 2
 
-    kernel = _make_kernel(sub, win)
+    kernel = _make_kernel(sub, win, ch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(total // sub,),
+        grid=(n_chunks // ch,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((_F_PAD, sub), lambda i, starts: (0, i)),
+        out_specs=pl.BlockSpec((_F_PAD, ch * sub), lambda i, starts: (0, i)),
         scratch_shapes=[
-            pltpu.VMEM((_F_PAD, win), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, _F_PAD, win), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(

@@ -634,60 +634,43 @@ _CPAD = 8  # window halo rows above/below each block in the scratch windows:
            # grid (G is always a multiple of 8), and bounds window <= 8
 
 
-def _load_window(hbm, scratch, sem, i, b: int, g: int):
-    """DMA rows [i*b - 8, i*b + b + 8) mod G of ``hbm`` into ``scratch``.
+def _start_window(hbm, scratch, sem, i, b: int, g: int):
+    """Issue (without waiting) the DMAs for rows [i*b - 8, i*b + b + 8)
+    mod G of ``hbm`` into ``scratch``; returns the started copy handles.
 
     The torus wrap lives HERE — the component tensors carry no halo rows.
-    Starts are always multiples of 8 (b and G are), so every copy is
-    tile-aligned; only the first/last block splits at the wrap."""
+    The window is always THREE branchless contiguous segments (top halo,
+    body, bottom halo): the body never wraps, and each halo wraps only as a
+    whole (i==0 / i==nb-1), so a scalar select picks its source row.
+    Starts are multiples of 8 (b, p and G are — asserted for Mosaic with
+    pl.multiple_of, which cannot prove it through the subtraction/select),
+    so every copy is tile-aligned.
+
+    Issuing all segments — and all windows of a block — before ANY wait is
+    load-bearing: the serialized start-wait-start-wait form left every DMA's
+    issue latency exposed, a measured ~3.5 ms/pass floor at the 1M headline
+    (vs ~0.1 ms of actual HBM traffic)."""
     nb = g // b
     p = _CPAD
-    if nb == 1:
-        # window = whole grid plus both wraps
-        c1 = pltpu.make_async_copy(hbm.at[:, pl.ds(g - p, p)],
-                                   scratch.at[:, pl.ds(0, p)], sem)
-        c1.start()
-        c1.wait()
-        c2 = pltpu.make_async_copy(hbm, scratch.at[:, pl.ds(p, g)], sem)
-        c2.start()
-        c2.wait()
-        c3 = pltpu.make_async_copy(hbm.at[:, pl.ds(0, p)],
-                                   scratch.at[:, pl.ds(p + g, p)], sem)
-        c3.start()
-        c3.wait()
-        return
-
-    @pl.when(i == 0)
-    def _first():
-        c1 = pltpu.make_async_copy(hbm.at[:, pl.ds(g - p, p)],
-                                   scratch.at[:, pl.ds(0, p)], sem)
-        c1.start()
-        c1.wait()
-        c2 = pltpu.make_async_copy(hbm.at[:, pl.ds(0, b + p)],
-                                   scratch.at[:, pl.ds(p, b + p)], sem)
-        c2.start()
-        c2.wait()
-
-    @pl.when(i == nb - 1)
-    def _last():
-        c1 = pltpu.make_async_copy(hbm.at[:, pl.ds(g - b - p, b + p)],
-                                   scratch.at[:, pl.ds(0, b + p)], sem)
-        c1.start()
-        c1.wait()
-        c2 = pltpu.make_async_copy(hbm.at[:, pl.ds(0, p)],
-                                   scratch.at[:, pl.ds(b + p, p)], sem)
-        c2.start()
-        c2.wait()
-
-    @pl.when((i > 0) & (i < nb - 1))
-    def _interior():
-        # i*b - p is a multiple of 8 (b and p both are), but Mosaic cannot
-        # prove divisibility through the subtraction — assert it, or the
-        # TPU lowering fails with "tile index ... divisible by the tiling".
-        start = pl.multiple_of(i * b - p, 8)
-        c = pltpu.make_async_copy(hbm.at[:, pl.ds(start, b + 2 * p)],
-                                  scratch, sem)
+    top = pl.multiple_of(jnp.where(i == 0, g - p, i * b - p), 8)
+    bot = pl.multiple_of(jnp.where(i == nb - 1, 0, i * b + b), 8)
+    body = pl.multiple_of(i * b, 8)
+    copies = [
+        pltpu.make_async_copy(hbm.at[:, pl.ds(top, p)],
+                              scratch.at[:, pl.ds(0, p)], sem),
+        pltpu.make_async_copy(hbm.at[:, pl.ds(body, b)],
+                              scratch.at[:, pl.ds(p, b)], sem),
+        pltpu.make_async_copy(hbm.at[:, pl.ds(bot, p)],
+                              scratch.at[:, pl.ds(b + p, p)], sem),
+    ]
+    for c in copies:
         c.start()
+    return copies
+
+
+def _load_window(hbm, scratch, sem, i, b: int, g: int):
+    """Start + wait one window (all three segments in flight together)."""
+    for c in _start_window(hbm, scratch, sem, i, b, g):
         c.wait()
 
 
@@ -724,10 +707,20 @@ def _make_pass_kernel(k: int, cohesion: bool, b: int, g: int, window: int,
             out_prev[0] = X[r0:r0 + b]                       # pre-integration
             out_prev[1] = Y[r0:r0 + b]
 
+    # The window of each tensor arrives as THREE blocked refs (top halo,
+    # body, bottom halo) whose index maps wrap at the torus edge — Pallas's
+    # automatic pipelining then double-buffers every fetch across grid
+    # steps, overlapping the DMAs with the previous block's pair math. The
+    # earlier manual start/wait DMAs serialized issue latency against
+    # compute: a measured ~3.5 ms/pass floor at the 1M headline against
+    # ~0.1 ms of actual HBM traffic.
+    def win(t_ref, b_ref, d_ref):
+        return jnp.concatenate([t_ref[:], b_ref[:], d_ref[:]], axis=1)
+
     if integrate:
-        def kernel(flags_ref, params_ref, aux_ref, xy_hbm, stat_hbm,
-                   prev_hbm, fol_hbm, out_xy, out_prev,
-                   sxy, sst, sprev, sfol, sem):
+        def kernel(flags_ref, params_ref, aux_ref, xyT, xyB, xyD,
+                   stT, stB, stD, prT, prB, prD, foT, foB, foD,
+                   out_xy, out_prev):
             i = pl.program_id(0)
 
             # occupancy skip: empty self rows hold all-zero fields, on which
@@ -740,15 +733,12 @@ def _make_pass_kernel(k: int, cohesion: bool, b: int, g: int, window: int,
 
             @pl.when(flags_ref[i] != 0)
             def _run():
-                _load_window(xy_hbm, sxy, sem, i, b, g)
-                _load_window(stat_hbm, sst, sem, i, b, g)
-                _load_window(prev_hbm, sprev, sem, i, b, g)
-                _load_window(fol_hbm, sfol, sem, i, b, g)
-                compute(params_ref, aux_ref, sxy[:], sst[:], sprev[:],
-                        sfol[:], out_xy, out_prev)
+                compute(params_ref, aux_ref, win(xyT, xyB, xyD),
+                        win(stT, stB, stD), win(prT, prB, prD),
+                        win(foT, foB, foD), out_xy, out_prev)
     else:
-        def kernel(flags_ref, params_ref, aux_ref, xy_hbm, stat_hbm,
-                   out_xy, sxy, sst, sem):
+        def kernel(flags_ref, params_ref, aux_ref, xyT, xyB, xyD,
+                   stT, stB, stD, out_xy):
             i = pl.program_id(0)
 
             @pl.when(flags_ref[i] == 0)
@@ -757,10 +747,8 @@ def _make_pass_kernel(k: int, cohesion: bool, b: int, g: int, window: int,
 
             @pl.when(flags_ref[i] != 0)
             def _run():
-                _load_window(xy_hbm, sxy, sem, i, b, g)
-                _load_window(stat_hbm, sst, sem, i, b, g)
-                compute(params_ref, aux_ref, sxy[:], sst[:], None, None,
-                        out_xy, None)
+                compute(params_ref, aux_ref, win(xyT, xyB, xyD),
+                        win(stT, stB, stD), None, None, out_xy, None)
 
     return kernel
 
@@ -793,30 +781,36 @@ def _substep_pass_pallas(xy, stat, prev, follow, params_packed, aux_packed,
     kernel = _make_pass_kernel(k, cohesion, b, g, window, fresh_mask,
                                integrate)
 
-    win = b + 2 * _CPAD
     out_xy = jax.ShapeDtypeStruct((2, g, lanes), jnp.float32)
     out_block = pl.BlockSpec((2, b, lanes), lambda i: (0, i, 0))
+
+    # Each tensor's wrapped window = three blocked refs (top halo, body,
+    # bottom halo) in _CPAD-row block units, auto-pipelined by Pallas.
+    p = _CPAD
+    rb = b // p
+    nph = g // p
+
+    def trio(c):
+        return [pl.BlockSpec((c, p, lanes),
+                             lambda i: (0, (i * rb - 1) % nph, 0)),
+                pl.BlockSpec((c, b, lanes), lambda i: (0, i, 0)),
+                pl.BlockSpec((c, p, lanes),
+                             lambda i: (0, (i * rb + rb) % nph, 0))]
+
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY)]
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += trio(2) + trio(4)
     operands = [_comp_block_flags(stat, b), params_packed, aux_packed,
-                xy, stat]
-    scratch = [pltpu.VMEM((2, win, lanes), jnp.float32),
-               pltpu.VMEM((4, win, lanes), jnp.float32)]
+                xy, xy, xy, stat, stat, stat]
     if integrate:
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY),
-                     pl.BlockSpec(memory_space=pl.ANY)]
-        operands += [prev, follow]
+        in_specs += trio(2) + trio(3)
+        operands += [prev, prev, prev, follow, follow, follow]
         out_specs = [out_block, out_block]
         out_shape = [out_xy, out_xy]
-        scratch += [pltpu.VMEM((2, win, lanes), jnp.float32),
-                    pltpu.VMEM((3, win, lanes), jnp.float32)]
     else:
         out_specs = out_block
         out_shape = out_xy
-    scratch.append(pltpu.SemaphoreType.DMA)
 
     return pl.pallas_call(
         kernel,
@@ -824,7 +818,6 @@ def _substep_pass_pallas(xy, stat, prev, follow, params_packed, aux_packed,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

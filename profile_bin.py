@@ -23,7 +23,7 @@ enable_compile_cache()
 N = int(os.environ.get("PROF_N", "1000000"))
 G = int(os.environ.get("PROF_G", "768"))
 K = int(os.environ.get("PROF_K", "4"))
-CHAIN = int(os.environ.get("PROF_CHAIN", "10"))
+CHAIN = int(os.environ.get("PROF_CHAIN", "50"))
 
 
 def timed(fn, n_trials=3):
@@ -202,7 +202,7 @@ def main():
     def comp_extract_piece(c, prev, stat, slot):
         p, pr, v, ing = solver_ops._comp_extract(c, prev, stat, slot, G,
                                                  lanes, sub_dt)
-        return jnp.sum(p[::4096]) * 1e-6
+        return c + jnp.sum(p[::4096]) * 1e-20
 
     measure("comp_extract_ms", comp_extract_piece, xy, (prev, stat, slot))
 

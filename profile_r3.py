@@ -24,7 +24,7 @@ from egg_fluid_simulation_tpu.ops import render as render_ops
 from egg_fluid_simulation_tpu.ops import solver as solver_ops
 
 N = int(os.environ.get("PROF_N", "1000000"))
-CHAIN = int(os.environ.get("PROF_CHAIN", "10"))
+CHAIN = int(os.environ.get("PROF_CHAIN", "50"))
 
 
 def timed(fn, n_trials=3):
