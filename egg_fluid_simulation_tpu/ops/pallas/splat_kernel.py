@@ -258,6 +258,186 @@ def splat_tiles_v2(cand: jnp.ndarray, trips: jnp.ndarray, th: int, tw: int,
     return out if use_rgb else (out, None)
 
 
+def _make_kernel_rows(th: int, tw: int, s: int, nbx: int, wx: int, wy: int,
+                      rpt: int, bw: int, ntx: int, kp: int, n_f: int,
+                      max_splat_px: int, use_rgb: bool):
+    """One program = one TILE ROW of the canvas (grid=(nty,)).
+
+    The program DMAs its window's ``wy`` bin rows — one CONTIGUOUS slab of
+    the row-major (nby*nbx, F, Kp) payload table, double-buffered across
+    grid steps — and evaluates its ``ntx`` tiles from VMEM with static
+    window-column offsets. This removes the (T, W, F, Kp) candidate window
+    gather entirely (XLA materialized ~220 MB/frame through HBM at the 1M
+    headline) AND writes output directly in canvas layout (no tile->canvas
+    transpose epilogue). Each bin row is fetched by the ``wy`` programs
+    whose windows cover it, so slab traffic is only wy/rpt x the table
+    size (~75 MB/frame vs the gather's ~450 MB round trip)."""
+    gauss = _GAUSS_COEFF
+    icap = 1.0 / float(max_splat_px)
+    assert kp in (8, 16, 32, 64, 128, 256)
+    bpc = max(1, _CHUNK // kp)            # bins per 128-lane chunk
+    n_rows = wy * nbx
+    # chunk padding can address window positions past (wy, wx): those land
+    # in zeroed TAIL rows of the slab (alpha 0 contributes nothing)
+    w_pad_max = (-(-(wy * wx) // bpc)) * bpc - 1
+    extra = max(0, (w_pad_max // wx) * nbx + nbx - n_rows)
+
+    def kernel(trips_ref, payload_hbm, out_a_ref, *rest):
+        if use_rgb:
+            out_rgb_ref = rest[0]
+            scratch, sem = rest[1], rest[2]
+        else:
+            scratch, sem = rest[0], rest[1]
+        i = pl.program_id(0)
+        nty = pl.num_programs(0)
+
+        def slab_dma(slot, row):
+            start = row * (rpt * nbx)
+            return pltpu.make_async_copy(
+                payload_hbm.at[pl.ds(start, n_rows)],
+                scratch.at[slot, pl.ds(0, n_rows)], sem.at[slot])
+
+        @pl.when(i == 0)
+        def _warm():
+            if extra:
+                # DMAs never touch the tail rows; zero them once per call
+                scratch[0, n_rows:] = jnp.zeros((extra, n_f, kp),
+                                                jnp.float32)
+                scratch[1, n_rows:] = jnp.zeros((extra, n_f, kp),
+                                                jnp.float32)
+            slab_dma(0, 0).start()
+
+        @pl.when(i + 1 < nty)
+        def _prefetch():
+            slab_dma((i + 1) % 2, i + 1).start()
+
+        slab_dma(i % 2, i).wait()
+        slab = scratch.at[i % 2]          # (wy*nbx, F, Kp) ref view
+
+        py_g = jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw, 1), 0).astype(jnp.float32) + 0.5
+        px_g = jax.lax.broadcasted_iota(
+            jnp.int32, (th, tw, 1), 1).astype(jnp.float32) + 0.5
+        py = py_g + (i * th).astype(jnp.float32)
+
+        tiles_a = []
+        tiles_rgb = []
+        for t in range(ntx):
+            px = px_g + float(t * tw)
+            bx0 = t * (tw // bw)
+
+            def field(c, j, bx0=bx0):
+                """(1, 1, 128) candidate lane vector of field j, chunk c."""
+                if bpc >= 2:
+                    parts = []
+                    for u in range(bpc):
+                        w = c * bpc + u
+                        b = (w // wx) * nbx + bx0 + (w % wx)
+                        parts.append(slab[b, j, :])
+                    return jnp.concatenate(parts)[None, None, :]
+                if kp == _CHUNK:
+                    b = (c // wx) * nbx + bx0 + (c % wx)
+                    return slab[b, j, :][None, None, :]
+                w = c // 2                # kp == 256: half a bin per chunk
+                half = c % 2
+                b = (w // wx) * nbx + bx0 + (w % wx)
+                start = pl.multiple_of(half * _CHUNK, _CHUNK)
+                return slab[b, j, pl.ds(start, _CHUNK)][None, None, :]
+
+            def chunk_body(c, carry, field=field, px=px):
+                acc = carry[0]
+                pcx, pcy, ca, sa = (field(c, 0), field(c, 1), field(c, 2),
+                                    field(c, 3))
+                isx, isy, ap = field(c, 6), field(c, 7), field(c, 8)
+                cax, sax = ca * isx, sa * isx
+                cay, say = ca * isy, sa * isy
+                dx = px - pcx
+                dy = py - pcy
+                nx = dx * cax + dy * sax
+                ny = dy * cay - dx * say
+                r2 = nx * nx + ny * ny
+                m = jnp.maximum(
+                    jnp.maximum(jnp.abs(nx), jnp.abs(ny)),
+                    icap * jnp.maximum(jnp.abs(dx), jnp.abs(dy)))
+                g = jnp.where(m <= 1.0, jnp.exp(-gauss * r2) * ap, 0.0)
+                acc = acc * (1.0 - g)
+                if use_rgb:
+                    return (acc,) + tuple(
+                        carry[1 + ch] * (1.0 - g * field(c, 9 + ch))
+                        for ch in range(3))
+                return (acc,)
+
+            n_acc = 4 if use_rgb else 1
+            init = tuple(jnp.ones((th, tw, _CHUNK), jnp.float32)
+                         for _ in range(n_acc))
+            accs = jax.lax.fori_loop(0, trips_ref[i * ntx + t], chunk_body,
+                                     init)
+            w = _CHUNK
+            while w > 1:
+                w //= 2
+                accs = tuple(a[..., :w] * a[..., w:2 * w] for a in accs)
+            tiles_a.append(1.0 - accs[0][..., 0])
+            if use_rgb:
+                tiles_rgb.append(1.0 - jnp.stack(
+                    [accs[1 + ch][..., 0] for ch in range(3)], axis=-1))
+
+        out_a_ref[:] = jnp.concatenate(tiles_a, axis=1)
+        if use_rgb:
+            out_rgb_ref[:] = jnp.concatenate(tiles_rgb, axis=1)
+
+    return kernel
+
+
+def _rows_extra(wy: int, wx: int, nbx: int, kp: int) -> int:
+    bpc = max(1, _CHUNK // kp)
+    w_pad_max = (-(-(wy * wx) // bpc)) * bpc - 1
+    return max(0, (w_pad_max // wx) * nbx + nbx - wy * nbx)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "th", "tw", "s", "nbx", "wx", "wy", "rpt", "bw", "max_splat_px",
+    "use_rgb", "interpret"))
+def splat_rows(payload_t: jnp.ndarray, trips: jnp.ndarray, th: int, tw: int,
+               s: int, nbx: int, wx: int, wy: int, rpt: int, bw: int,
+               max_splat_px: int, use_rgb: bool = False,
+               interpret: bool = False):
+    """(s, s) splat alpha straight from the row-major payload table.
+
+    ``payload_t``: (nby*nbx, F, Kp) bin-resident payload WITHOUT the
+    sentinel row (every window position of every tile is a real ring or
+    interior bin). ``trips``: (n_tiles,) i32 chunk bound per tile — chunks
+    enumerate the tile's (wy, wx) window bins in raster order, so the bound
+    is the last nonempty chunk index + 1 (no count sort needed).
+    """
+    n_rows_total, n_f, kp = payload_t.shape
+    assert s % th == 0 and s % tw == 0
+    ntx = s // tw
+    nty = s // th
+    kernel = _make_kernel_rows(th, tw, s, nbx, wx, wy, rpt, bw, ntx, kp,
+                               n_f, max_splat_px, use_rgb)
+    out_shape = [jax.ShapeDtypeStruct((s, s), jnp.float32)]
+    out_specs = [pl.BlockSpec((th, s), lambda i: (i, 0))]
+    if use_rgb:
+        out_shape.append(jax.ShapeDtypeStruct((s, s, 3), jnp.float32))
+        out_specs.append(pl.BlockSpec((th, s, 3), lambda i: (i, 0, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nty,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs if use_rgb else out_specs[0],
+        out_shape=out_shape if use_rgb else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((2, wy * nbx + _rows_extra(wy, wx, nbx,
+                                                             kp),
+                                    n_f, kp), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(trips, payload_t)
+    return out if use_rgb else (out, None)
+
+
 @functools.partial(jax.jit, static_argnames=("th", "tw", "ntx",
                                              "max_splat_px", "interpret"))
 def splat_tiles(cand: jnp.ndarray, trips: jnp.ndarray, th: int, tw: int,

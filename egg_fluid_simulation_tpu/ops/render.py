@@ -257,7 +257,7 @@ def _ring_depth(opts: RenderOptions) -> Tuple[int, int]:
     return -(-e // opts.bin_h), -(-e // opts.bin_w)
 
 
-def _bin_particles(p_canvas, active, opts: RenderOptions):
+def _bin_particles(p_canvas, active, opts: RenderOptions, cols=None):
     """Bin each particle ONCE by its center bin; tiles gather neighbor bins.
 
     One sorted entry per particle (multi-bin scatter windows cost ~18x more
@@ -270,6 +270,14 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     beyond-reach particles, never read) and an i32 ``[n_overflow, max_count]``
     pair — canvas-reaching particles dropped past the per-bin budget, and
     the peak bin occupancy (draw()'s one-shot budget bump sizes k from it).
+
+    With ``cols`` (a list of (N,) f32 payload columns) the columns ride the
+    bucket sort and the return value is the bin-resident PAYLOAD
+    ``(n_bins + 1, tile_capacity, F)`` directly — no index table and no
+    (N, F) row gather afterwards (the ``pack[table]`` gather cost ~6 ms at
+    the 1M headline; per-column window gathers from the sorted runs stay
+    ~2 ms). Candidate order within a bin is identical either way (the sort
+    is stable on the bucket key).
     """
     s, bh, bw, e = opts.eff_size, opts.bin_h, opts.bin_w, opts.max_splat_px
     ry, rx = _ring_depth(opts)
@@ -290,7 +298,11 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     bucket = jnp.where(ok, by * nbx + bx, n_bins)
 
     pidx = jnp.arange(n, dtype=jnp.int32)
-    bucket_sorted, pidx_sorted = jax.lax.sort_key_val(bucket, pidx)
+    if cols is None:
+        bucket_sorted, pidx_sorted = jax.lax.sort_key_val(bucket, pidx)
+    else:
+        sorted_all = jax.lax.sort(tuple([bucket] + list(cols)), num_keys=1)
+        cols_sorted = sorted_all[1:]
     k = opts.tile_capacity
     # Scatter-free table build: per-bin runs are contiguous in the sorted
     # order, so the table is a (n_bins+1, k) window gather from segment
@@ -315,8 +327,13 @@ def _bin_particles(p_canvas, active, opts: RenderOptions):
     # row n_bins backs out-of-canvas window positions and must stay empty
     valid = valid & (jnp.arange(n_bins + 1, dtype=jnp.int32)
                      < n_bins)[:, None]
-    table = jnp.where(valid,
-                      pidx_sorted[jnp.minimum(pos_in, n - 1)], -1)
+    capped = jnp.minimum(pos_in, n - 1)
+    if cols is not None:
+        payload = jnp.stack(
+            [jnp.where(valid, c[capped], 0.0) for c in cols_sorted],
+            axis=-1)                                         # (n_bins+1, k, F)
+        return payload, jnp.stack([overflow, maxcnt]), counts
+    table = jnp.where(valid, pidx_sorted[capped], -1)
     return table, jnp.stack([overflow, maxcnt]), counts
 
 
@@ -376,8 +393,6 @@ def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
     base_scale = radius * texture_scale / ds
     smear = 1.0 + speed * motion_blur                        # instanced_draw.glsl:25
 
-    table, audit, counts = _bin_particles(p_canvas, active, opts)
-
     a_p = jnp.where(active, color[:, 3], 0.0)
     inv_sx = 1.0 / jnp.maximum(base_scale * smear, EPS)      # stretched axis
     inv_sy = 1.0 / jnp.maximum(base_scale, EPS)
@@ -385,10 +400,10 @@ def _splat_payload(pos, last_pos, vel, radius, color, active, canvas_center,
             base_scale, base_scale * smear, inv_sx, inv_sy, a_p]
     if opts.use_particle_color:
         cols += [color[:, 0], color[:, 1], color[:, 2]]
-    pack = jnp.stack(cols, axis=1)                           # (N, F)
-    occupied = table >= 0
-    payload = pack[jnp.maximum(table, 0)]                    # (n_bins+1, K, F)
-    payload = jnp.where(occupied[..., None], payload, 0.0)   # ap=0, extent=0
+    # columns ride the bucket sort; empty slots come back zeroed (ap=0,
+    # extent=0), exactly like the old pack[table] + occupancy mask
+    payload, audit, counts = _bin_particles(p_canvas, active, opts,
+                                            cols=cols)
     return payload, audit, counts
 
 
@@ -427,6 +442,41 @@ def _splat_alpha_kernel(payload, nb, opts: RenderOptions, counts=None,
         kp *= 2
     kp = min(max(kp, 8), 256)
     bins_per_chunk = max(1, _SPLAT_CHUNK // kp)
+
+    # Row-slab path: the kernel DMAs whole window-row slabs of the
+    # row-major payload table and needs NO candidate window gather at all
+    # (and no tile->canvas transpose) — see splat_kernel.splat_rows. Gated
+    # on the slab's PHYSICAL VMEM footprint ((F, Kp) pads to (8*, 128)
+    # tiles; the full-resolution post modes can exceed it).
+    ry, rx = _ring_depth(opts)
+    bh, bw = opts.bin_h, opts.bin_w
+    nby, nbx = s // bh + 2 * ry, s // bw + 2 * rx
+    wy, wx = th // bh + 2 * ry, tw // bw + 2 * rx
+    rpt = th // bh
+    slab_phys = (wy * nbx * (-(-n_f // 8) * 8) * max(kp, 128) * 4)
+    if counts is not None and slab_phys <= 12 * 1024 * 1024:
+        chunks_per_bin = max(1, kp // _SPLAT_CHUNK)
+        n_chunks = -(-(wy * wx) // bins_per_chunk) * chunks_per_bin
+        # raster-order chunk bound: last nonempty window chunk + 1
+        wc = jnp.minimum(counts[nb[:, :wy * wx]], k)         # (T, W) raster
+        pad_w = -(-(wy * wx) // bins_per_chunk) * bins_per_chunk - wy * wx
+        if pad_w:
+            wc = jnp.pad(wc, ((0, 0), (0, pad_w)))
+        chunk_nz = jnp.any(
+            wc.reshape(n_tiles, -1, bins_per_chunk) > 0, axis=2)
+        if chunks_per_bin > 1:
+            chunk_nz = jnp.repeat(chunk_nz, chunks_per_bin, axis=1)
+        cidx = jnp.arange(chunk_nz.shape[1], dtype=jnp.int32)
+        trips = jnp.max(jnp.where(chunk_nz, cidx + 1, 0),
+                        axis=1).astype(jnp.int32)
+        payload_t = payload[:nby * nbx].transpose(0, 2, 1)   # no sentinel
+        if kp > k:
+            payload_t = jnp.pad(payload_t,
+                                ((0, 0), (0, 0), (0, kp - k)))
+        alpha, rgb = splat_kernel.splat_rows(
+            payload_t, trips, th, tw, s, nbx, wx, wy, rpt, bw,
+            opts.max_splat_px, use_rgb=use_rgb, interpret=interpret)
+        return alpha, rgb
     if w_bins % bins_per_chunk:
         pad_w = bins_per_chunk - w_bins % bins_per_chunk
         # sentinel row n_bins is always empty — padded window positions
@@ -581,6 +631,38 @@ def splat_population(pos, last_pos, vel, radius, color, active,
     return alpha, rgb, audit
 
 
+@functools.lru_cache(maxsize=16)
+def _linear_resize_rows(s_out: int, s_in: int):
+    """(s_out, s_in) row-interpolation matrix == ``jax.image.resize``'s
+    'linear' UPSAMPLE (half-pixel centers, edge clamp; not valid for
+    downsampling, which antialiases). Applied as two MXU matmuls, a
+    640 -> 2560 canvas upsample runs in a fraction of a ms where XLA's
+    gather-based resize measured ~7 ms at the 1M headline."""
+    pos = (np.arange(s_out) + 0.5) * (s_in / s_out) - 0.5
+    lo = np.floor(pos).astype(np.int64)
+    w = (pos - lo).astype(np.float32)
+    lo_c = np.clip(lo, 0, s_in - 1)
+    hi_c = np.clip(lo + 1, 0, s_in - 1)
+    m = np.zeros((s_out, s_in), np.float32)
+    m[np.arange(s_out), lo_c] += 1.0 - w
+    m[np.arange(s_out), hi_c] += w
+    return m
+
+
+def _resize_linear_up(img, s_out: int):
+    """Bilinear upsample of a square (S, S[, C]) image via interpolation
+    matmuls; identical sampling to ``jax.image.resize(..., 'linear')``."""
+    s_in = img.shape[0]
+    if s_out == s_in:
+        return img
+    assert s_out > s_in, "matmul path is an upsampler"
+    m = jnp.asarray(_linear_resize_rows(s_out, s_in))
+    if img.ndim == 2:
+        return m @ img @ m.T
+    t = jnp.einsum("oi,ijc->ojc", m, img)
+    return jnp.einsum("pj,ojc->opc", m, t)
+
+
 def upsample_splat(alpha, rgb, opts: RenderOptions):
     """Bilinear upsample of a coarse-evaluated splat canvas to full res.
 
@@ -588,9 +670,9 @@ def upsample_splat(alpha, rgb, opts: RenderOptions):
     canvases first — the screen-blend product does not commute with
     bilinear resampling."""
     s_full = opts.canvas_size
-    alpha = jax.image.resize(alpha, (s_full, s_full), "linear")
+    alpha = _resize_linear_up(alpha, s_full)
     if rgb is not None and rgb.ndim == 3:
-        rgb = jax.image.resize(rgb, (s_full, s_full, 3), "linear")
+        rgb = _resize_linear_up(rgb, s_full)
     return alpha, rgb
 
 
@@ -786,7 +868,7 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
                                      use_lighting, opts,
                                      px_scale=float(opts.downsample))
             if opts.downsample > 1:
-                rgba = jax.image.resize(rgba, (s, s, 4), "linear")
+                rgba = _resize_linear_up(rgba, s)
         else:
             # "full"/"super": edge-quality modes — smoothstep thresholds and
             # Sobel normals evaluate at (2x) canvas resolution; "super" box-
@@ -795,18 +877,18 @@ def _render_frame(state, stats, cfg2, interpolation_alpha,
             scale = 1 if opts.post_mode == "full" else 2
             e = s * scale
             alpha_hi = (alpha if alpha.shape[0] == e
-                        else jax.image.resize(alpha, (e, e), "linear"))
+                        else _resize_linear_up(alpha, e))
             rgb_hi = None
             if rgb is not None and rgb.ndim == 3:
                 rgb_hi = (rgb if rgb.shape[0] == e
-                          else jax.image.resize(rgb, (e, e, 3), "linear"))
+                          else _resize_linear_up(rgb, e))
             rgba = render_population(alpha_hi, rgb_hi, cfg, threshold,
                                      smoothness, use_lighting, opts,
                                      px_scale=1.0 / scale)
             if scale > 1:
                 rgba = rgba.reshape(s, scale, s, scale, 4).mean(axis=(1, 3))
         if opts.downsample > 1:
-            alpha = jax.image.resize(alpha, (s, s), "linear")
+            alpha = _resize_linear_up(alpha, s)
         return rgba, alpha, audit
 
     screen_rgb = jnp.zeros((vh, vw, 3), jnp.float32)
